@@ -1,0 +1,130 @@
+package graft.extract
+
+import graft.schema.{Doc, ExtractedDoc, ExtractedSpan, Span}
+
+/** Pure, deterministic extraction kernel — the analog of the reference's
+  * fused per-image pipeline function (/root/reference/crates/core/src/
+  * model/mod.rs:436-471 `process_input_full`), re-expressed as a per-doc
+  * tokenize → boilerplate-strip → classify → reading-order → render pass.
+  *
+  * Zero Spark dependencies: unit-testable stand-alone, invoked from the
+  * Dataset pipeline through `mapPartitions`. Determinism rules (SURVEY.md
+  * §7.4): no wall-clock, no hash-iteration-order dependence, stable sorts.
+  */
+object Kernel {
+
+  /** End-of-sequence sentinel stripped by the reference's normalize step
+    * (/root/reference/crates/core/src/inference.rs:178-183).
+    */
+  val EosSentinel = "<｜end▁of▁sentence｜>"
+
+  /** Exact semantics of the reference's `normalize_text`
+    * (/root/reference/crates/core/src/inference.rs:178-183):
+    * CRLF → LF, strip the EOS sentinel, trim.
+    */
+  def normalizeText(s: String): String =
+    s.replace("\r\n", "\n").replace(EosSentinel, "").trim
+
+  /** Fraction of whitespace tokens that are `[bracketed]` link tokens —
+    * the text-density/link-density boilerplate heuristic (north rule).
+    * Empty text scores 0.
+    */
+  def linkDensity(text: String): Double = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) 0.0
+    else toks.count(t => t.startsWith("[") && t.endsWith("]")).toDouble / toks.length
+  }
+
+  private val BoilerplateWords =
+    Set("nav", "navigation", "footer", "copyright", "cookie", "cookies",
+        "subscribe", "advertisement", "sponsored")
+
+  /** Boilerplate predicate over a normalized raw span. Markup spans whose
+    * link density crosses 0.5, or that lead with a nav/footer/ads keyword,
+    * are stripped (analog of the reference's mask filtering + normalize —
+    * model/mod.rs:1259-1266, inference.rs:178-183).
+    */
+  def isBoilerplate(kind: String, text: String): Boolean = {
+    if (kind != "markup") false
+    else if (linkDensity(text) >= 0.5) true
+    else {
+      val first = text.split("\\s+").filter(_.nonEmpty)
+        .map(_.toLowerCase.replaceAll("[^a-z]", ""))
+      first.exists(BoilerplateWords.contains)
+    }
+  }
+
+  private def looksLikeTable(text: String): Boolean = {
+    val lines = text.split('\n')
+    lines.nonEmpty && lines.forall { l =>
+      val t = l.trim; t.startsWith("|") && t.endsWith("|") && t.length >= 2
+    }
+  }
+
+  /** Region classification — the analog of the reference's grounding
+    * post-process (`<|ref|>…<|det|>` → heading/table/figure markdown,
+    * /root/reference/scripts/capture_baseline.py:762-776).
+    * Returns the output kind, or None for spans that are dropped.
+    */
+  def classify(span: Span, normText: String): Option[String] = {
+    if (span.kind == "media" || span.media_ref.nonEmpty) Some("figure")
+    else if (isBoilerplate(span.kind, normText)) None
+    else if (normText.isEmpty) None
+    else if (span.kind == "markup" && looksLikeTable(normText)) Some("table")
+    else if (normText.startsWith("#")) {
+      // '#'{1..6} + space → heading (markdown heading discipline)
+      val hashes = normText.takeWhile(_ == '#').length
+      if (hashes >= 1 && hashes <= 6 &&
+          normText.length > hashes && normText(hashes) == ' ') Some("heading")
+      else Some("paragraph")
+    } else if (span.kind == "markup") None // non-table, non-boiler markup: dropped
+    else Some("paragraph")
+  }
+
+  /** Reading-order recovery: stable sort by source offset (tie-break by
+    * original array index) — the analog of the reference's tile reorder +
+    * row-break injection (model/mod.rs:403-434,321-333). Spans never leave
+    * their row, so this is shuffle-free per SURVEY.md §7.4(1).
+    */
+  def extract(doc: Doc): ExtractedDoc = {
+    val kept = doc.spans.iterator.zipWithIndex.flatMap { case (s, i) =>
+      val norm = normalizeText(s.text)
+      classify(s, norm).map(kind => (s.offset, i, kind, norm, s.media_ref))
+    }.toArray
+    java.util.Arrays.sort(kept, (a: (Int, Int, String, String, String),
+                                 b: (Int, Int, String, String, String)) => {
+      val c = Integer.compare(a._1, b._1)
+      if (c != 0) c else Integer.compare(a._2, b._2)
+    })
+    val out = kept.iterator.zipWithIndex.map { case ((_, _, kind, text, ref), ord) =>
+      ExtractedSpan(kind, text, ref, ord)
+    }.toIndexedSeq
+    ExtractedDoc(doc.doc_id, out, renderMarkdown(out))
+  }
+
+  /** Ordered markdown emission — analog of the reference's final decode +
+    * grounding rewrite into `result.mmd` (capture_baseline.py:762-780).
+    */
+  def renderMarkdown(spans: Seq[ExtractedSpan]): String =
+    spans.map { s =>
+      s.kind match {
+        case "figure" => s"![](${s.media_ref})"
+        case _        => s.text
+      }
+    }.mkString("\n\n")
+
+  /** Stable FNV-1a 64-bit over the extracted span sequence, for the
+    * per-partition lineage manifest (FIXTURES.md §4).
+    */
+  def checksum(doc: ExtractedDoc): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1e; h *= 0x100000001b3L
+    }
+    mix(doc.doc_id)
+    doc.spans.foreach { s => mix(s.kind); mix(s.text); mix(s.media_ref); mix(s.order.toString) }
+    h
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.extract.Kernel
+import graft.schema.{Doc, ExtractedDoc, ExtractedSpan}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark wiring of the extraction kernel (SURVEY.md §7.1 module 4).
+  *
+  * Dataset-only, no RDDs: read → salt column for skewed hosts/doc-size
+  * buckets → repartitionByRange(salt, doc_id) for shuffle balance →
+  * mapPartitions(Kernel.extract) → (optionally) resumable bucketed write
+  * via [[TableIO]].
+  *
+  * Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
+  *  - The kernel is a narrow per-row map: zero cross-row dependencies,
+  *    matching the reference's per-image rayon `par_iter`
+  *    (/root/reference/crates/core/src/model/mod.rs:840-862).
+  *  - The ONLY shuffle is the explicit rebalance. Hot hosts / long-tail doc
+  *    sizes make raw input splits skewed; the salt term spreads any hot
+  *    doc_id range uniformly while the range partitioner keeps output
+  *    clustered for downstream locality.
+  *  - AQE stays on; shuffle partition count is a parameter sized so a
+  *    partition's docs fit executor memory (north rule: explicit, not
+  *    implicit, skew handling).
+  */
+object Extraction {
+
+  /** Flat output row carrying bucket + stats for the resumable write. */
+  final case class ExtractedRow(
+      doc_id: String,
+      spans: Seq[ExtractedSpan],
+      markdown: String,
+      bucket: Int,
+      span_count: Int,
+      bytes: Long,
+      checksum: Long
+  )
+
+  /** Narrow extraction: kernel over each partition's docs in a tight loop
+    * (batch-of-tiles analog, SURVEY.md O15). No shuffle.
+    */
+  def extractDs(docs: Dataset[Doc]): Dataset[ExtractedDoc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
+    docs.mapPartitions(_.map(Kernel.extract))
+  }
+
+  /** Full pipeline with explicit salt + range rebalance (north rule). */
+  def pipeline(docs: Dataset[Doc], shufflePartitions: Int = 0,
+               saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = if (shufflePartitions > 0) shufflePartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val salted = docs
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(saltBuckets)))
+      .repartitionByRange(n, $"salt", $"doc_id")
+      .drop("salt")
+      .as[Doc]
+    extractDs(salted)
+  }
+
+  /** Extraction + bucket/stats columns for [[TableIO.writeResumable]].
+    * `buckets` is the resume granularity: bucket = xxhash-style stable hash
+    * of doc_id mod buckets, computed in the kernel so it survives any
+    * repartitioning.
+    */
+  def extractRows(docs: Dataset[Doc], buckets: Int): Dataset[ExtractedRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedRow]
+    docs.mapPartitions(_.map { doc =>
+      val e = Kernel.extract(doc)
+      ExtractedRow(e.doc_id, e.spans, e.markdown,
+        bucketOf(e.doc_id, buckets), e.spans.size, e.markdown.length.toLong,
+        Kernel.checksum(e))
+    })
+  }
+
+  /** Stable, deterministic bucket assignment (FNV-1a of doc_id). */
+  def bucketOf(docId: String, buckets: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < docId.length) { h ^= docId.charAt(i); h *= 0x100000001b3L; i += 1 }
+    val m = (h % buckets).toInt
+    if (m < 0) m + buckets else m
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.pipeline.Extraction.ExtractedRow
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-semantics substitute (BASELINE.md note: no Iceberg runtime jar
+  * ships offline): an explicit per-bucket lineage-manifest + atomic
+  * commit-marker layer over partitioned Parquet.
+  *
+  * Layout under `outDir`:
+  *   data/bucket=<i>/ (parquet)     — extracted rows, one dir per bucket
+  *   manifests/bucket-<i>.json      — lineage: counts, bytes, checksum,
+  *                                    wall ms (atomic tmp+rename = commit)
+  *   _SUCCESS.json                  — job-level marker (idempotent finalize,
+  *                                    analog of the reference's SSE
+  *                                    `finalize` idempotency —
+  *                                    /root/reference/crates/server/src/stream.rs:287-355)
+  *
+  * Resume = anti-filter of input buckets against committed manifests; the
+  * write uses dynamic partition overwrite so a bucket interrupted between
+  * data-append and manifest-commit is rewritten whole on the next run
+  * (partial files never double-count). Monotonic-commit discipline mirrors
+  * the reference's KV-cache `seq_len decreased` guard
+  * (/root/reference/crates/core/src/transformer/cache.rs:204-258).
+  *
+  * Local FS here; at cluster scale the same protocol runs over any Hadoop
+  * FileSystem with atomic rename (HDFS) — the seam is this object.
+  */
+object TableIO {
+
+  final case class BucketManifest(bucket: Int, doc_count: Long,
+      span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long)
+
+  private def manifestDir(outDir: String): Path = Paths.get(outDir, "manifests")
+  private def manifestPath(outDir: String, bucket: Int): Path =
+    manifestDir(outDir).resolve(s"bucket-$bucket.json")
+
+  def committedBuckets(outDir: String): Set[Int] = {
+    val dir = manifestDir(outDir)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+        s.stripPrefix("bucket-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.getParent.resolve(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def manifestJson(m: BucketManifest): String =
+    s"""{"bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
+    s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum}}"""
+
+  /** Resumable bucketed write. Returns the number of buckets written this
+    * run (0 on a fully-committed rerun — idempotent no-op).
+    */
+  def writeResumable(rows: Dataset[ExtractedRow], outDir: String): Int = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val done = committedBuckets(outDir)
+    val todo = if (done.isEmpty) rows
+               else rows.filter(!$"bucket".isin(done.toSeq: _*))
+    val t0 = System.nanoTime()
+    // Pass 1 — the extraction itself: dynamic partition overwrite replaces
+    // only buckets present in `todo`; committed buckets' data is untouched.
+    // (No .cache(): at 100 TB the stats pass below re-reads the *written*
+    // parquet with column pruning instead of holding the corpus in memory.)
+    todo.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(s"$outDir/data")
+    // Pass 2 — lineage stats from the written output, pruned to 4 small
+    // columns (no markdown/spans IO), restricted to newly-written buckets.
+    val stats = spark.read.parquet(s"$outDir/data")
+      .filter(if (done.isEmpty) lit(true) else !$"bucket".isin(done.toSeq: _*))
+      .groupBy($"bucket".cast("int").as("bucket")).agg(
+        count(lit(1)).as("doc_count"),
+        sum($"span_count").cast("long").as("span_count"),
+        sum($"bytes").cast("long").as("bytes"),
+        // order-insensitive streamable checksum over per-doc FNV checksums
+        expr("bit_xor(checksum)").as("span_checksum"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    stats.foreach { case (b, dc, sc, by, ck) =>
+      writeAtomic(manifestPath(outDir, b),
+        manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck)))
+    }
+    writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
+      s"""{"buckets_committed":${committedBuckets(outDir).size},"last_run_buckets":${stats.length},"last_run_wall_ms":$wallMs}""")
+    stats.length
+  }
+
+  /** Read back only manifest-committed buckets (manifest-listed reads —
+    * partial, uncommitted bucket dirs are invisible to readers).
+    */
+  def readCommitted(spark: SparkSession, outDir: String): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    val done = committedBuckets(outDir)
+    val df = spark.read.parquet(s"$outDir/data")
+    df.filter($"bucket".isin(done.toSeq: _*))
+      .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
+              $"span_count", $"bytes", $"checksum")
+      .as[ExtractedRow]
+  }
+}
