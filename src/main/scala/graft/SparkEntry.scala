@@ -41,6 +41,25 @@ object SparkEntry {
     "ext_kind_counts" -> ((s, dir) =>
       extractedSpans(s, dir).groupBy("kind").agg(count(lit(1)).as("cnt"))),
 
+    // THE north-rule gate: full span-sequence equality (kind, text,
+    // media_ref, order) for every doc, end-to-end through the salted +
+    // range-repartitioned mapPartitions pipeline.
+    "ext_spans_full" -> ((s, dir) => {
+      import s.implicits._
+      extractedSpans(s, dir)
+        .select($"doc_id", $"kind", $"text", $"media_ref",
+                $"order".cast("long").as("ord"))
+    }),
+
+    // Rendered page markdown (analog of result.mmd equality,
+    // /root/reference/crates/core/tests/baseline.rs:700-705).
+    "ext_markdown" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.corpus.CorpusDerive.derive(s, dir)
+      graft.pipeline.Extraction.pipeline(docs)
+        .select($"doc_id", $"markdown")
+    }),
+
     "ext_headings" -> ((s, dir) => {
       import s.implicits._
       extractedSpans(s, dir).filter($"order" === 0)
@@ -105,11 +124,61 @@ object SparkEntry {
     "ext_kind_counts" ->
       """SELECT 'heading' AS kind, count(*)::BIGINT AS cnt FROM documents
         |UNION ALL
-        |SELECT 'paragraph', sum(CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)) FROM documents
+        |SELECT 'paragraph', CAST(sum(CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)) AS BIGINT) FROM documents
         |UNION ALL
         |SELECT 'table', count(*)::BIGINT FROM documents WHERE doc_id % 3 = 0
         |UNION ALL
         |SELECT 'figure', ((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) + (SELECT count(*) FROM documents WHERE doc_id % 4 = 0))::BIGINT""".stripMargin,
+
+    "ext_spans_full" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text,' ') AS words,
+        |         CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT printf('d%010d', doc_id) AS doc_id, 'heading' AS kind,
+        |       '# ' || array_to_string(list_slice(words,1,3),' ') AS text,
+        |       '' AS media_ref, 0::BIGINT AS ord
+        |FROM w
+        |UNION ALL
+        |SELECT printf('d%010d', doc_id), 'paragraph',
+        |       array_to_string(list_slice(words, 4+(i-1)*12, 3+i*12), ' '),
+        |       '', i::BIGINT
+        |FROM (SELECT doc_id, words, unnest(generate_series(1, p)) AS i FROM w)
+        |UNION ALL
+        |SELECT printf('d%010d', doc_id), 'table',
+        |       '| k | v |' || chr(10) || '| r' || doc_id || ' | c' || doc_id || ' |',
+        |       '', (1 + p)::BIGINT
+        |FROM w WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT printf('d%010d', doc_id), 'figure', '',
+        |       'img://' || doc_id || '/0',
+        |       (1 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |FROM w WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT printf('d%010d', doc_id), 'figure', '',
+        |       'img://' || doc_id || '/1',
+        |       (2 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |FROM w WHERE doc_id % 4 = 0""".stripMargin,
+
+    "ext_markdown" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text,' ') AS words,
+        |         CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT printf('d%010d', doc_id) AS doc_id,
+        |  array_to_string(
+        |    ['# ' || array_to_string(list_slice(words,1,3),' ')]
+        |    || list_transform(generate_series(1, p),
+        |         i -> array_to_string(list_slice(words, 4+(i-1)*12, 3+i*12), ' '))
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN ['| k | v |' || chr(10) || '| r' || doc_id || ' | c' || doc_id || ' |']
+        |         ELSE []::VARCHAR[] END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ['![](img://' || doc_id || '/0)']
+        |         ELSE []::VARCHAR[] END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ['![](img://' || doc_id || '/1)']
+        |         ELSE []::VARCHAR[] END),
+        |    chr(10) || chr(10)) AS markdown
+        |FROM w""".stripMargin,
 
     "ext_headings" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,
@@ -148,13 +217,13 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_c4,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
         |       count(*)::BIGINT AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_filter" ->
-      """SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS revenue_c4,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
         |       count(*)::BIGINT AS n_rows
         |FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
