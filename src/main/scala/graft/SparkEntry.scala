@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.{DedupOps, MediaOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +117,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_unique"),
              sum($"n" - 1).cast("long").as("n_dup_rows"))
     }),
+
+    // ---- text analysis (training-data ops) ----
+    "ta_bpe" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+    "ta_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
+    "ta_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
+    "ta_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+
+    // ---- near-duplicate detection ----
+    "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(s, t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashDf(s, t(s, dir, "documents"))),
+    "dedup_ngram" -> ((s, dir) => DedupOps.ngramJaccardPairs(s, t(s, dir, "documents"))),
+    "dedup_embedding" -> ((s, dir) =>
+      DedupOps.embeddingNearDupPairs(s, t(s, dir, "embeddings"))),
+
+    // ---- similarity search over embeddings ----
+    "ann_topk" -> ((s, dir) =>
+      SimilarityOps.bruteForceTopK(s, t(s, dir, "embeddings"), nQueries = 8, k = 5)
+        .withColumnRenamed("rank", "rnk")),
+    "ann_lsh_sketch" -> ((s, dir) => SimilarityOps.lshSketch(s, t(s, dir, "embeddings"))),
+
+    // ---- multimodal binary-column plumbing (decode stubbed) ----
+    "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
+    "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +262,175 @@ object SparkEntry {
         |  SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |  FROM documents GROUP BY 1)
         |SELECT count(*)::BIGINT AS n_unique, sum(n - 1)::BIGINT AS n_dup_rows FROM g""".stripMargin,
+
+    "ta_bpe" ->
+      s"""SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '${TextOps.TokenRegex}'))::BIGINT AS n_tokens_re
+         |FROM documents""".stripMargin,
+
+    "ta_quality" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text, len(ws)::BIGINT AS n_words,
+         |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS chars,
+         |    len(list_filter(ws, x -> x IN (${TextOps.sqlInList(TextOps.QualityStop)})))::BIGINT AS n_stop
+         |  FROM (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents)),
+         |q AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN CAST(floor((100.0*chars)/n_words) AS BIGINT) ELSE 0 END AS mwl_q2,
+         |    CASE WHEN n_words > 0 THEN CAST(floor((10000.0*n_stop)/n_words) AS BIGINT) ELSE 0 END AS stop_q4,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_punct
+         |  FROM c)
+         |SELECT doc_id, n_words, mwl_q2, stop_q4, n_punct,
+         |  (CASE WHEN n_words BETWEEN 50 AND 5000 THEN 40 ELSE 10 END
+         |   + CASE WHEN stop_q4 >= 200 THEN 30 ELSE 0 END
+         |   + CASE WHEN mwl_q2 BETWEEN 250 AND 900 THEN 30 ELSE 0 END)::BIGINT AS score
+         |FROM q""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.EnStop)})))::BIGINT AS c_en,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.EsStop)})))::BIGINT AS c_es,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.DeStop)})))::BIGINT AS c_de,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.FrStop)})))::BIGINT AS c_fr
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+         |SELECT doc_id, c_en, c_es, c_de, c_fr,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM c""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(string_split(text,' '), w -> ${md5iSql("w")} % 1000000007),
+         |    (a,b) -> (a*31+b) % 1000000007)::BIGINT AS fp
+         |FROM documents""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(ws) >= 3
+         |      THEN list_transform(generate_series(1, len(ws)-2),
+         |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
+         |      ELSE [array_to_string(ws, ' ')] END) AS shs
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shs,
+         |    list_transform(generate_series(0,15),
+         |      k -> list_min(list_transform(shs, s -> ${md5iSql("k || '|' || s")}))) AS sig
+         |  FROM ds),
+         |bnd AS (
+         |  SELECT doc_id,
+         |    md5(sig[4*b+1] || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4]) AS bk
+         |  FROM (SELECT doc_id, sig, unnest(generate_series(0,3)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
+         |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
+         |  FROM cand JOIN ds a ON a.doc_id = cand.doc_a
+         |            JOIN ds b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, jacc_i, jacc_u FROM v WHERE jacc_i*10 >= jacc_u*7""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(generate_series(0,${DedupOps.SimBits - 1}), j ->
+         |      CASE WHEN list_sum(list_transform(hs,
+         |             h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+         |    (a,b) -> a | b) AS simhash
+         |FROM (SELECT doc_id,
+         |        list_transform(list_distinct(string_split(text,' ')),
+         |                       w -> ${md5iSql("w")}) AS hs
+         |      FROM documents)""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, source, list_distinct(
+         |    CASE WHEN len(ws) >= 3
+         |      THEN list_transform(generate_series(1, len(ws)-2),
+         |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
+         |      ELSE [array_to_string(ws, ' ')] END) AS shs
+         |  FROM (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents))
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
+         |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
+         |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jacc_i*10 >= jacc_u*3""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |        FROM embeddings))
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i]))::BIGINT AS dot,
+        |    a.nsq AS na, b.nsq AS nb
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb""".stripMargin,
+
+    "ann_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |        FROM embeddings)),
+        |qs AS (SELECT vec_id AS query_id, q AS qv, nsq AS na FROM n WHERE vec_id < 8),
+        |p AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*n.q[i]))::BIGINT AS dot,
+        |    na, n.nsq AS nb
+        |  FROM qs, n WHERE n.vec_id <> qs.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, dot, na, nb,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*nb)) DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, dot, na, nb FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_lsh_sketch" ->
+      s"""SELECT vec_id,
+         |  list_reduce(
+         |    list_transform(generate_series(0,${SimilarityOps.Planes - 1}), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, len(q)),
+         |             d -> (${md5iSql("p || '|' || (d-1)")} % 2001 - 1000) * q[d])) > 0
+         |        THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+         |    (a,b) -> a | b) AS sketch
+         |FROM (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |      FROM embeddings)""".stripMargin,
+
+    "mm_decode" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0)
+         |SELECT media_ref,
+         |  (${md5iSql("'w|' || media_ref")} % 1920 + 1)::BIGINT AS width,
+         |  (${md5iSql("'h|' || media_ref")} % 1080 + 1)::BIGINT AS height,
+         |  CASE ${md5iSql("'t|' || media_ref")} % 3
+         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+         |  16::BIGINT AS n_bytes
+         |FROM refs""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0)
+         |SELECT media_ref,
+         |  unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_idx
+         |FROM (SELECT media_ref, ${md5iSql("'f|' || media_ref")} % 96 + 5 AS n_frames FROM refs)""".stripMargin,
   )
+
+  private def md5iSql(e: String): String = graft.functions.Hashing.md5iSql(e)
 }

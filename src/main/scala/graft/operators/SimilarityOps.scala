@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH sketch (SimHash-for-vectors, Charikar '02) as
+  * the scale path (bucketed candidate generation instead of all-pairs).
+  *
+  * Scale design: the query set is tiny relative to the corpus, so the
+  * brute-force path is a BROADCAST join of queries against the corpus —
+  * one scan, partial top-k per partition (TakeOrderedAndProject after the
+  * window/filter), no corpus shuffle. The LSH path replaces the cross
+  * join with a narrow sketch projection + an exchange keyed by sketch.
+  *
+  * Numeric portability: embeddings are quantized to integers once
+  * (q = floor(1000·v), exact for float inputs in any IEEE engine), and
+  * every downstream value (dot, norms, sketch bits) is integer-exact, so
+  * the DuckDB oracle reproduces results bit-for-bit. The one double used
+  * for RANKING (cos = dot/√(na·nb)) is derived from exact integers with a
+  * fixed expression shape — identical in both engines; ties broken by id.
+  */
+object SimilarityOps {
+
+  /** (vec_id, label, q: array<long>, nsq: Σq²) — codegen'd projection. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nsq",
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest OTHER vectors. Output (query_id, neighbor_id, rank,
+    * dot, na, nb) — rank by (cos desc, neighbor_id) for determinism.
+    */
+  def bruteForceTopK(spark: SparkSession, emb: DataFrame, nQueries: Int,
+                     k: Int): DataFrame = {
+    import spark.implicits._
+    val q = quantized(emb)
+    val queries = q.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"nsq".as("na"))
+    val pairs = q.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"q").as("dot"), $"na", $"nsq".as("nb"))
+      .withColumn("cos",
+        $"dot".cast("double") / sqrt($"na".cast("double") * $"nb"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cos".desc, $"neighbor_id")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank", $"dot", $"na", $"nb")
+  }
+
+  val Planes = 16 // sketch bits
+
+  /** Deterministic hyperplane coefficient for (plane p, dim d), in
+    * [-1000, 1000]: md5i("p|d") % 2001 - 1000. Same value in DuckDB.
+    */
+  def planeCoef(p: Int, d: Int): Long = Hashing.md5i(s"$p|$d") % 2001L - 1000L
+
+  /** Random-hyperplane LSH sketch: bit p = [Σ_d coef(p,d)·q_d > 0].
+    * Integer-exact (|Σ| ≤ 64·1000·530 < 2^63). Vectors with equal
+    * sketches land in the same ANN candidate bucket.
+    */
+  def lshSketch(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val coefs: Array[Array[Long]] =
+      Array.tabulate(Planes, 64)((p, d) => planeCoef(p, d))
+    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var sketch = 0L
+        var p = 0
+        while (p < Planes) {
+          var s = 0L
+          var d = 0
+          while (d < v.length) {
+            s += coefs(p)(d % 64) * math.floor(v(d).toDouble * 1000).toLong
+            d += 1
+          }
+          if (s > 0) sketch |= (1L << p)
+          p += 1
+        }
+        (id, sketch)
+      }.toDF("vec_id", "sketch")
+  }
+
+  /** ANN via LSH buckets: candidate pairs share a sketch; verified with
+    * the same exact-integer cosine threshold as the brute-force path.
+    */
+  def lshCandidatePairs(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sk = lshSketch(spark, emb)
+    val q = quantized(emb).join(sk, "vec_id")
+    q.as("a").join(q.as("b"),
+        $"a.sketch" === $"b.sketch" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        dot($"a.q", $"b.q").as("dot"), $"a.nsq".as("na"), $"b.nsq".as("nb"))
+  }
+}

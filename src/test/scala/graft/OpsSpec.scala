@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators.{DedupOps, MediaOps, SimilarityOps, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit/invariant suites for the training-data operators (dedup sketches,
+  * similarity search, text analysis, multimodal plumbing). Planted
+  * near-duplicates verify the sketch math end-to-end through Spark.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSuite.spark
+  import org.apache.spark.sql.functions._
+
+  test("md5i matches Spark's own md5/conv (engine-parity anchor)") {
+    import spark.implicits._
+    val vals = Seq("a", "0|x y z", "img://42/0", "")
+    val fromSpark = vals.toDF("s")
+      .select(Hashing.md5iCol(col("s"))).as[Long].collect()
+    assert(fromSpark.toSeq == vals.map(Hashing.md5i))
+    assert(vals.forall(v => Hashing.md5i(v) >= 0L))
+  }
+
+  test("minhash: identical docs collide on every band; planted near-dup found") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val distinctDoc = (1 to 60).map(i => s"z$i").mkString(" ")
+    val sigA = DedupOps.minhashSig(DedupOps.shingles(base).distinct.sorted)
+    val sigB = DedupOps.minhashSig(DedupOps.shingles(nearDup).distinct.sorted)
+    val sigC = DedupOps.minhashSig(DedupOps.shingles(distinctDoc).distinct.sorted)
+    assert(sigA.length == DedupOps.NumHashes)
+    // near-dup shares most signature positions; distinct doc shares none
+    assert(sigA.zip(sigB).count { case (x, y) => x == y } >= DedupOps.NumHashes / 2)
+    assert(sigA.zip(sigC).count { case (x, y) => x == y } == 0)
+
+    import spark.implicits._
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(spark, docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text -> equal; near-dup -> small hamming distance") {
+    val a = DedupOps.simhash("alpha beta gamma delta epsilon zeta")
+    val b = DedupOps.simhash("alpha beta gamma delta epsilon zeta")
+    val c = DedupOps.simhash("alpha beta gamma delta epsilon CHANGED")
+    val d = DedupOps.simhash("totally different words entirely here now")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
+    assert((a & ~((1L << DedupOps.SimBits) - 1)) == 0L) // only low 48 bits
+  }
+
+  test("ngram jaccard: exact within-block pairs above threshold only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d e f g h"),
+      (2L, "s1", "a b c d e f g X"),    // near-dup of 1
+      (3L, "s1", "p q r s t u v w"),    // same block, unrelated
+      (4L, "s2", "a b c d e f g h"))    // dup content, different block
+      .toDF("doc_id", "source", "text")
+    val pairs = DedupOps.ngramJaccardPairs(spark, docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // blocked: (1,4) not compared
+  }
+
+  test("embedding near-dup + topk: exact integer cosine math") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.05f, 0.0f), 0),  // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),    // orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f), 1))    // same as 0, other label
+      .toDF("vec_id", "embedding", "label")
+    val nd = DedupOps.embeddingNearDupPairs(spark, emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((0L, 1L))) // label-blocked: (0,3) not compared
+    val topk = SimilarityOps.bruteForceTopK(spark, emb, nQueries = 1, k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    // v3 is identical to v0 (cos 1.0) -> rank 1; v1 (cos ≈ .9987) -> rank 2
+    assert(topk == Map(3L -> 1L, 1L -> 2L))
+  }
+
+  test("lsh sketch: identical vectors identical sketch, deterministic coef") {
+    import spark.implicits._
+    assert(SimilarityOps.planeCoef(0, 0) == Hashing.md5i("0|0") % 2001L - 1000L)
+    val emb = Seq(
+      (0L, Array.fill(64)(0.25f), 0),
+      (1L, Array.fill(64)(0.25f), 0),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.4f else -0.4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val sk = SimilarityOps.lshSketch(spark, emb).as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(1L))
+    val pairs = SimilarityOps.lshCandidatePairs(spark, emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("langid: stopword profiles pick the right language; und on no hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "el perro y la casa de que los"),
+      (3L, "der hund und die katze ist ein"),
+      (4L, "xyzzy plugh quux"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("fingerprint: order-sensitive, engine-stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    // cross-check against the pure-Scala fold
+    val expect = Hashing.polyFp(Iterator("a", "b", "c").map(Hashing.md5i))
+    assert(fps(1L) == expect)
+  }
+
+  test("media plumbing: refs derived, 16-byte payload, frames stride 10") {
+    import spark.implicits._
+    val docs = Seq((2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val items = MediaOps.mediaItems(spark, docs).collect()
+    assert(items.map(_.media_ref).toSet ==
+      Set("img://2/0", "img://4/0", "img://4/1"))
+    assert(items.forall(_.content.length == 16))
+    val meta = MediaOps.decodeMeta(spark, docs).collect()
+    assert(meta.forall(m => m.width >= 1 && m.width <= 1920 &&
+      m.height >= 1 && m.height <= 1080 && m.n_bytes == 16 &&
+      Set("jpeg", "png", "webp").contains(m.format)))
+    val frames = MediaOps.frameSample(spark, docs)
+      .as[(String, Long)].collect()
+    assert(frames.forall(_._2 % 10 == 0))
+    assert(frames.groupBy(_._1).keySet == items.map(_.media_ref).toSet)
+  }
+}
