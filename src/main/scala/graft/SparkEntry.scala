@@ -100,6 +100,96 @@ object SparkEntry {
              count(lit(1)).as("n_rows"))
     }),
 
+    // ---- joins (broadcast dims + shuffle fact joins), top-k, windows,
+    //      set ops, JSON — SURVEY.md §2.3/2.5/2.6/2.7/2.8 analogs ----
+    "q3_topk" -> ((s, dir) => {
+      import s.implicits._
+      // dims broadcast explicitly; orders⋈lineitem is the only shuffle join
+      val cust = broadcast(t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select("c_custkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", unix_micros($"o_orderdate".cast("timestamp_ltz")).as("o_odate_us"))
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("revenue_c4"))
+        .orderBy($"revenue_c4".desc, $"l_orderkey")
+        .limit(10)
+        .select($"l_orderkey", $"revenue_c4", $"o_odate_us")
+    }),
+
+    "q5_region_rev" -> ((s, dir) => {
+      import s.implicits._
+      val geo = broadcast(t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name", $"r_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(geo, $"o_custkey" === $"c_custkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("revenue_c4"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "w_events" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("value_c", floor($"value" * 100).cast("long"))
+        .select($"event_id", $"user_id",
+          row_number().over(w).cast("long").as("rnk"),
+          $"value_c",
+          ($"value_c" - lag($"value_c", 1, 0L).over(w)).as("delta_c"),
+          sum($"value_c").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("run_c"))
+    }),
+
+    "ev_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // 30-min-gap sessionization: batch mirror of the streaming
+      // flatMapGroupsWithState path (graft.streaming.Sessionize)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros($"ts".cast("timestamp_ltz")) - lag(unix_micros($"ts".cast("timestamp_ltz")), 1, 0L).over(w))
+        .withColumn("new_sess",
+          when(lag($"ts", 1).over(w).isNull || $"gap_us" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    "ev_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.eventWindowAgg(t(s, dir, "events"))),
+
+    "ev_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+    }),
+
+    "set_viewers_no_purchase" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val viewers = ev.filter($"event_type" === "view").select($"user_id").distinct()
+      val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+      viewers.join(buyers, Seq("user_id"), "left_anti") // anti join (set EXCEPT)
+    }),
+
+    "topk_brands" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"p_brand")
+        .limit(5)
+    }),
+
     // ---- text analysis over documents (training-data ops) ----
     "ta_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -262,6 +352,72 @@ object SparkEntry {
         |  SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |  FROM documents GROUP BY 1)
         |SELECT count(*)::BIGINT AS n_unique, sum(n - 1)::BIGINT AS n_dup_rows FROM g""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey, revenue_c4, o_odate_us FROM (
+        |  SELECT l_orderkey, epoch_us(o_orderdate) AS o_odate_us,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY l_orderkey, o_orderdate)
+        |ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_rev" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "w_events" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |  value_c,
+        |  (value_c - lag(value_c, 1, 0) OVER w)::BIGINT AS delta_c,
+        |  CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(floor(value * 100) AS BIGINT) AS value_c FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1, 0) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |       count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "ev_window_agg" ->
+      """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+
+    "ev_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "set_viewers_no_purchase" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "topk_brands" ->
+      """SELECT p_brand, count(*)::BIGINT AS n FROM part
+        |GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 5""".stripMargin,
 
     "ta_bpe" ->
       s"""SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens_ws,

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference's streaming machinery is token-incremental SSE with a
+  * monotonic-offset guard and an idempotent finalize
+  * (/root/reference/crates/server/src/stream.rs:239-355 — SURVEY.md §2.9).
+  * The Spark-native re-expression: micro-batch file streams with
+  * watermarks (the monotonicity guard), windowed aggregation, and
+  * `flatMapGroupsWithState` for custom session state (the KV-cache
+  * append-only-state analog, crates/core/src/transformer/cache.rs:204-258).
+  *
+  * Every transform here is defined once and shared by the batch queries
+  * (DuckDB-oracle-checked) and the streaming tests (streaming == batch
+  * equality), so the streaming path inherits the correctness gate.
+  */
+object StreamingExtract {
+
+  /** Tumbling 1-hour windows per event_type: count + exact cent sum.
+    * Works unchanged over a batch DataFrame or a streaming source —
+    * window() + agg is incrementalizable by the micro-batch planner.
+    */
+  def eventWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .select(col("event_type"), unix_micros(col("w.start").cast("timestamp_ltz")).as("win_us"),
+        col("n"), col("sum_c"))
+
+  /** File-source streaming run of [[eventWindowAgg]] with a 1-hour
+    * watermark, complete-mode into an in-memory table. Returns the query;
+    * caller awaits termination of available data then reads `tableName`.
+    */
+  def runFileStream(spark: SparkSession, eventsDir: String,
+                    tableName: String): StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(eventsDir)
+      // watermarks require event time in TIMESTAMP (ltz); session tz is UTC
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+    eventWindowAgg(src.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(tableName)
+      .outputMode(OutputMode.Complete())
+      .start()
+  }
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(lastTs: Long, count: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  /** Stateful sessionization kernel for `flatMapGroupsWithState`: counts
+    * 30-min-gap sessions per user. State is the append-only running
+    * (lastTs, counts) — monotonic like the reference's KV cache seq_len.
+    * Emits the running totals each invocation (Update mode).
+    */
+  def sessionizeFn(userId: Long, rows: Iterator[Ev],
+                   state: GroupState[SessionState]): Iterator[UserSessions] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+    sorted.foreach { e =>
+      val newSession = st.count == 0L || e.ts_us - st.lastTs > SessionGapUs
+      st = SessionState(math.max(st.lastTs, e.ts_us), st.count + 1,
+        st.sessions + (if (newSession) 1 else 0))
+    }
+    state.update(st)
+    Iterator.single(UserSessions(userId, st.sessions, st.count))
+  }
+
+  /** Typed stateful sessionization over any Dataset[Ev] (batch or
+    * stream). In streaming this runs under Update output mode; in batch
+    * each group sees all its rows once, so totals equal the window-based
+    * batch query `ev_sessions`.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(sessionizeFn)
+  }
+}

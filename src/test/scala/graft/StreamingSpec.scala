@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamingExtract
+import graft.streaming.StreamingExtract.{Ev, UserSessions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming suites: the streaming paths must produce exactly
+  * the batch results (the analog of the reference's monotonic-stream ==
+  * final-decode equality, crates/server/src/stream.rs:239-355).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSuite.spark
+  // FileStreamSource requires a directory; re-emit the single-file test
+  // parquet into one (2 files → 2 micro-batches at maxFilesPerTrigger=1).
+  private lazy val eventsDir: String = {
+    val dir = "/tmp/graft-stream-events"
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("file-stream windowed agg == batch windowed agg") {
+    val batch = StreamingExtract.eventWindowAgg(spark.read.parquet(eventsDir))
+      .collect().map(_.toSeq).toSet
+    val q = StreamingExtract.runFileStream(spark, eventsDir, "win_agg_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize over MemoryStream == batch totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val evs = Seq(
+      Ev(1L, 1L, 0L), Ev(1L, 2L, 10 * min), Ev(1L, 3L, 55 * min),
+      Ev(2L, 4L, 0L), Ev(2L, 5L, 29 * min))
+    val stream = MemoryStream[Ev]
+    val q = StreamingExtract.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two micro-batches to exercise cross-batch state carry-over
+      stream.addData(evs.take(2))
+      q.processAllAvailable()
+      stream.addData(evs.drop(2))
+      q.processAllAvailable()
+      val last = spark.table("sess_test").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events) } // latest update per user
+      assert(last(1L) == UserSessions(1L, 2L, 3L))
+      assert(last(2L) == UserSessions(2L, 1L, 2L))
+      // batch run of the same typed kernel agrees
+      val batch = StreamingExtract.sessionize(evs.toDS()).collect()
+        .map(u => u.user_id -> u).toMap
+      assert(batch == last)
+    } finally q.stop()
+  }
+
+  test("sessionize batch kernel == window-function ev_sessions query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(eventsDir)
+    val typed = raw.select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp_ltz")).as("ts_us")).as[Ev]
+    val kernel = StreamingExtract.sessionize(typed).collect()
+      .map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
+    val sql = SparkEntry.queries("ev_sessions")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kernel == sql)
+  }
+}
