@@ -87,6 +87,16 @@ object Kernel {
     * their row, so this is shuffle-free per SURVEY.md §7.4(1).
     */
   def extract(doc: Doc): ExtractedDoc = {
+    val out = extractSpans(doc)
+    ExtractedDoc(doc.doc_id, out, renderMarkdown(out))
+  }
+
+  /** Span extraction without the rendered markdown — the shuffle-side
+    * payload. Markdown duplicates every span's text, so the pipeline
+    * renders it AFTER the rebalance shuffle (pure function of spans);
+    * shuffling it would roughly double bytes on the wire.
+    */
+  def extractSpans(doc: Doc): IndexedSeq[ExtractedSpan] = {
     val kept = doc.spans.iterator.zipWithIndex.flatMap { case (s, i) =>
       val norm = normalizeText(s.text)
       classify(s, norm).map(kind => (s.offset, i, kind, norm, s.media_ref))
@@ -96,10 +106,9 @@ object Kernel {
       val c = Integer.compare(a._1, b._1)
       if (c != 0) c else Integer.compare(a._2, b._2)
     })
-    val out = kept.iterator.zipWithIndex.map { case ((_, _, kind, text, ref), ord) =>
+    kept.iterator.zipWithIndex.map { case ((_, _, kind, text, ref), ord) =>
       ExtractedSpan(kind, text, ref, ord)
     }.toIndexedSeq
-    ExtractedDoc(doc.doc_id, out, renderMarkdown(out))
   }
 
   /** Ordered markdown emission — analog of the reference's final decode +
