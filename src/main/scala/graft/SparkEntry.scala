@@ -230,6 +230,8 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
     "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
+    "mm_tiling" -> ((s, dir) =>
+      graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -586,6 +588,52 @@ object SparkEntry {
          |SELECT media_ref,
          |  unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_idx
          |FROM (SELECT media_ref, ${md5iSql("'f|' || media_ref")} % 96 + 5 AS n_frames FROM refs)""".stripMargin,
+    "mm_tiling" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |dims AS (
+         |  SELECT media_ref,
+         |    (${md5iSql("'w|' || media_ref")} % 1920 + 1)::BIGINT AS w,
+         |    (${md5iSql("'h|' || media_ref")} % 1080 + 1)::BIGINT AS h
+         |  FROM refs),
+         |cand AS (
+         |  SELECT a.i AS rw, b.j AS rh
+         |  FROM (SELECT unnest(generate_series(1,9)) AS i) a,
+         |       (SELECT unnest(generate_series(1,9)) AS j) b
+         |  WHERE a.i*b.j BETWEEN 2 AND 9),
+         |scored AS (
+         |  SELECT d.media_ref, d.w, d.h, c.rw, c.rh,
+         |    abs(CAST(d.w AS DOUBLE)/d.h - CAST(c.rw AS DOUBLE)/c.rh) AS diff
+         |  FROM dims d CROSS JOIN cand c),
+         |eq AS (
+         |  SELECT s.* FROM scored s
+         |  JOIN (SELECT media_ref, min(diff) AS md FROM scored GROUP BY 1) m
+         |    ON s.media_ref = m.media_ref AND s.diff = m.md),
+         |qual AS (
+         |  SELECT media_ref, rw, rh,
+         |    row_number() OVER (PARTITION BY media_ref ORDER BY rw DESC, rh DESC) AS rn
+         |  FROM eq
+         |  WHERE CAST(w*h AS DOUBLE) > 0.5 * CAST(640*640*rw*rh AS DOUBLE)),
+         |frst AS (
+         |  SELECT media_ref, rw, rh,
+         |    row_number() OVER (PARTITION BY media_ref ORDER BY rw, rh) AS rn
+         |  FROM eq),
+         |pick AS (
+         |  SELECT f.media_ref,
+         |    coalesce(q.rw, f.rw)::BIGINT AS ratio_w,
+         |    coalesce(q.rh, f.rh)::BIGINT AS ratio_h
+         |  FROM (SELECT * FROM frst WHERE rn = 1) f
+         |  LEFT JOIN (SELECT * FROM qual WHERE rn = 1) q ON f.media_ref = q.media_ref)
+         |SELECT media_ref, ratio_w, ratio_h,
+         |  (ratio_w*ratio_h)::BIGINT AS n_tiles,
+         |  273::BIGINT AS tokens_global,
+         |  (CASE WHEN ratio_w > 1 OR ratio_h > 1
+         |    THEN (10*ratio_h)*(10*ratio_w + 1) ELSE 0 END)::BIGINT AS tokens_local,
+         |  (273 + CASE WHEN ratio_w > 1 OR ratio_h > 1
+         |    THEN (10*ratio_h)*(10*ratio_w + 1) ELSE 0 END)::BIGINT AS tokens_total
+         |FROM pick""".stripMargin,
   )
 
   private def md5iSql(e: String): String = graft.functions.Hashing.md5iSql(e)
