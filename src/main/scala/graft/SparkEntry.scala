@@ -232,6 +232,11 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
+
+    // ---- token-stream build (P1-P3/J1/A2 analogs) + expert routing (J3/T1) ----
+    "tok_stream" -> ((s, dir) => graft.operators.TokenOps.tokenAccounting(s, dir)),
+    "moe_route" -> ((s, dir) =>
+      graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -634,6 +639,36 @@ object SparkEntry {
          |  (273 + CASE WHEN ratio_w > 1 OR ratio_h > 1
          |    THEN (10*ratio_h)*(10*ratio_w + 1) ELSE 0 END)::BIGINT AS tokens_total
          |FROM pick""".stripMargin,
+
+    "tok_stream" ->
+      """SELECT printf('d%010d', doc_id) AS doc_id,
+        |  (11 + len(string_split(text,' '))
+        |     + CASE WHEN doc_id % 3 = 0 THEN 9 ELSE 0 END
+        |     + 111*slots)::BIGINT AS n_tokens,
+        |  slots::BIGINT AS n_image_slots,
+        |  (111*slots)::BIGINT AS n_mask_ones,
+        |  (111*slots)::BIGINT AS vision_token_total
+        |FROM (SELECT doc_id, text,
+        |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
+        |      FROM documents)""".stripMargin,
+
+    "moe_route" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, i - 1 AS expert_idx, qv[i] AS score
+        |  FROM (SELECT vec_id, qv, unnest(generate_series(1, 8)) AS i FROM q)),
+        |r AS (
+        |  SELECT vec_id, expert_idx, score,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, expert_idx) AS BIGINT) AS rnk
+        |  FROM e)
+        |SELECT vec_id, expert_idx::BIGINT AS expert_idx, rnk, score,
+        |  CAST(sum(score) OVER (PARTITION BY vec_id) AS BIGINT) AS score_topk_sum
+        |FROM r WHERE rnk <= 2""".stripMargin,
   )
 
   private def md5iSql(e: String): String = graft.functions.Hashing.md5iSql(e)

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.Hashing
+import graft.schema.Doc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Token-stream construction + positional merge — the Spark analog of the
+  * reference's prompt pipeline:
+  *
+  *  - segment split / per-segment tokenize / placeholder synthesis
+  *    (/root/reference/crates/core/src/inference.rs:107-175: text
+  *    segments tokenized with mask 0; each `<image>` slot expands to its
+  *    placeholder tokens with mask 1; slot count must equal image count)
+  *  - the masked scatter join (/root/reference/crates/core/src/model/
+  *    mod.rs:1222-1320: replace rows at mask positions with image rows,
+  *    in order, exact arity)
+  *
+  * All per-doc (spans never leave their row) → narrow kernel, no shuffle.
+  * Non-crop placeholder count: g = ceil((640/16)/4) = 10 → 10·11+1 = 111
+  * tokens per image (inference.rs:226-239 non-crop branch).
+  */
+object TokenOps {
+
+  val ImageTokenId: Long = -1L
+  /** Non-crop placeholder tokens per image slot: (g+1)·g + 1, g=10. */
+  val TokensPerImage: Int = {
+    val g = (TilingOps.ImageSize / TilingOps.PatchSize + TilingOps.DownsampleRatio - 1) /
+      TilingOps.DownsampleRatio
+    g * (g + 1) + 1
+  }
+
+  final case class TokenStream(ids: Array[Long], mask: Array[Boolean]) {
+    def maskOnes: Int = mask.count(identity)
+  }
+
+  /** Build the interleaved token stream for one raw doc: spans in offset
+    * order; text spans → word-hash ids (mask 0), media spans →
+    * TokensPerImage placeholder ids (mask 1).
+    */
+  def buildTokenStream(doc: Doc): TokenStream = {
+    val ids = Array.newBuilder[Long]
+    val mask = Array.newBuilder[Boolean]
+    doc.spans.sortBy(_.offset).foreach { s =>
+      if (s.kind == "media" || s.media_ref.nonEmpty) {
+        var i = 0
+        while (i < TokensPerImage) { ids += ImageTokenId; mask += true; i += 1 }
+      } else {
+        s.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+          ids += Hashing.md5i(w); mask += false
+        }
+      }
+    }
+    TokenStream(ids.result(), mask.result())
+  }
+
+  /** Masked scatter: replace ids at mask positions with `repl` in order.
+    * Exact-arity contract like the reference's inject (mod.rs:1259-1266:
+    * "image token count mismatch" is an error, never a truncation).
+    */
+  def injectAtMask(ids: Array[Long], mask: Array[Boolean],
+                   repl: Seq[Long]): Array[Long] = {
+    require(ids.length == mask.length, "ids/mask length mismatch")
+    val n = mask.count(identity)
+    require(repl.length == n,
+      s"replacement count ${repl.length} does not match mask positions $n")
+    val out = ids.clone()
+    var j = 0
+    var i = 0
+    while (i < out.length) {
+      if (mask(i)) { out(i) = repl(j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-doc token accounting over the derived corpus — the A2 invariant
+    * surface (mask ones == vision_token_total, inference.rs:163-172).
+    */
+  def tokenAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.corpus.CorpusDerive.derive(spark, sfDir).map { doc =>
+      val ts = buildTokenStream(doc)
+      val slots = doc.spans.count(s => s.kind == "media" || s.media_ref.nonEmpty)
+      (doc.doc_id, ts.ids.length.toLong, slots.toLong, ts.maskOnes.toLong,
+        slots.toLong * TokensPerImage)
+    }.toDF("doc_id", "n_tokens", "n_image_slots", "n_mask_ones",
+           "vision_token_total")
+  }
+}
