@@ -85,6 +85,32 @@ object Bench {
           .select(count(lit(1)), sum(size($"spans"))).head()))
   }
 
+  /** Skew scenario: a "hot host" whose pages sit CONSECUTIVE in doc_id
+    * space (ids with base % 1000 < 20, i.e. contiguous runs of 2%) gets
+    * 30× the spans per doc. The range partitioner balances ROW counts, so
+    * without salting those runs concentrate 30×-cost rows into a few
+    * ranges → stragglers; the salt term scatters them uniformly.
+    * Measured as salted (64 buckets) vs unsalted (saltBuckets=1).
+    */
+  private def skewTimes(spark: SparkSession, sfDir: String,
+                        factor: Int): Map[String, Double] = {
+    import spark.implicits._
+    def skewed = amplified(spark, sfDir, factor).map { d =>
+      val baseNum = d.doc_id.slice(1, 11).toLong // "dNNNNNNNNNN[-i]"
+      if (baseNum % 1000 < 20)
+        Doc(d.doc_id, Seq.fill(30)(d.spans).flatten)
+      else d
+    }
+    def run(saltBuckets: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.pipeline.Extraction.pipeline(skewed, saltBuckets = saltBuckets)
+        .select(count(lit(1)), sum(size($"spans"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(64) // warm
+    Map("skew_salted" -> run(64), "skew_nosalt" -> run(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -93,7 +119,7 @@ object Bench {
     // on a real cluster 4N executors add bandwidth linearly, so the
     // unsaturated regime is the faithful proxy.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "8000000").toLong
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "16000000").toLong
 
     // ---- scaling evidence: identical job at local[N] then local[4N] ----
     // Phase 0: one throwaway session to (a) size the amplification for the
@@ -119,7 +145,8 @@ object Bench {
         System.gc()
         val (docs, spans, sec) = Seq.fill(3)(runExtraction(s, sfDir, amplify))
           .minBy(_._3)
-        stages += (s"local$n" -> stageTimes(s, sfDir, amplify))
+        stages += (s"local$n" -> (stageTimes(s, sfDir, amplify) ++
+          (if (n == scaleN * 4) skewTimes(s, sfDir, amplify / 4) else Map.empty)))
         n -> (docs, spans, sec, docs / sec)
       } finally s.stop()
     }.toMap

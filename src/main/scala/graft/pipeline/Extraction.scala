@@ -48,12 +48,19 @@ object Extraction {
   /** Full pipeline with explicit salt + range rebalance (north rule).
     *
     * Order: kernel FIRST (narrow, on size-balanced input splits), THEN
-    * salt + repartitionByRange for the clustered write. Extraction
-    * shrinks docs (boilerplate stripped, markup dropped), so the shuffle
-    * moves ~25-30% fewer bytes than shuffling raw input — and hot
-    * oversized raw docs are already reduced before they cross the wire.
-    * The salt term spreads any hot doc_id range; the range partitioner
-    * keeps output clustered by doc_id for downstream locality.
+    * salt + range placement for the clustered write. Extraction shrinks
+    * docs (boilerplate stripped, markup dropped), so the shuffle moves
+    * fewer bytes than shuffling raw input — and hot oversized raw docs
+    * are already reduced before they cross the wire. The salt term
+    * spreads any hot doc_id range; the range layout keeps output
+    * clustered by (salt, doc_id) for downstream locality.
+    *
+    * Range placement uses [[RangeRouter]] (sketch boundaries from a
+    * narrow key-only pass, then ONE hash shuffle with exact partition
+    * routing) instead of `repartitionByRange`, whose RangePartitioner
+    * sampling re-executes the entire upstream — including the extraction
+    * kernel — a second time. At 100 TB that double scan is the
+    * difference between one pass and two.
     */
   def pipeline(docs: Dataset[Doc], shufflePartitions: Int = 0,
                saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
@@ -61,15 +68,23 @@ object Extraction {
     import spark.implicits._
     val n = if (shufflePartitions > 0) shufflePartitions
             else spark.sessionState.conf.numShufflePartitions
-    implicit val coreEnc =
-      org.apache.spark.sql.Encoders.product[(String, Seq[ExtractedSpan])]
     implicit val outEnc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
+    // narrow key-only sketch pass: derivation runs, kernel does NOT
+    val keys = docs.mapPartitions { it =>
+      RangeRouter.reservoir(it.map(d => RangeRouter.key(d.doc_id, saltBuckets)))
+    }.collect()
+    val bounds = RangeRouter.boundaries(keys, n)
+    val tokens = RangeRouter.hashTokens(n)
+    val bBounds = spark.sparkContext.broadcast(bounds)
     docs
-      .mapPartitions(_.map(d => (d.doc_id, Kernel.extractSpans(d))))
-      .toDF("doc_id", "spans")
-      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(saltBuckets)))
-      .repartitionByRange(n, $"salt", $"doc_id")
-      .drop("salt")
+      .mapPartitions(_.map { d =>
+        val k = RangeRouter.key(d.doc_id, saltBuckets)
+        (tokens(RangeRouter.bucket(bBounds.value, k)), d.doc_id,
+          Kernel.extractSpans(d))
+      })
+      .toDF("route", "doc_id", "spans")
+      .repartition(n, $"route")
+      .drop("route")
       .as[(String, Seq[ExtractedSpan])]
       // markdown rendered post-shuffle: pure function of spans, and twice
       // the wire bytes if shuffled
