@@ -233,6 +233,17 @@ object SparkEntry {
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
 
+    // Native codegen'd Catalyst expression (SparkSessionExtensions tier):
+    // normalize noisy text (CRLF + EOS sentinel + padding) back to the
+    // clean original — oracle is simply the original column.
+    "ext_normalize_expr" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.NormalizeText.register(s)
+      t(s, dir, "documents").select($"doc_id",
+        expr("graft_normalize_text(concat('  ', text, '\r\n', " +
+             "'<｜end▁of▁sentence｜>'))").as("norm"))
+    }),
+
     // ---- token-stream build (P1-P3/J1/A2 analogs) + expert routing (J3/T1) ----
     "tok_stream" -> ((s, dir) => graft.operators.TokenOps.tokenAccounting(s, dir)),
     "moe_route" -> ((s, dir) =>
@@ -639,6 +650,9 @@ object SparkEntry {
          |  (273 + CASE WHEN ratio_w > 1 OR ratio_h > 1
          |    THEN (10*ratio_h)*(10*ratio_w + 1) ELSE 0 END)::BIGINT AS tokens_total
          |FROM pick""".stripMargin,
+
+    "ext_normalize_expr" ->
+      "SELECT doc_id, text AS norm FROM documents",
 
     "tok_stream" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,
