@@ -64,9 +64,23 @@ object Bench {
     (out._1, out._2, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Shuffle-byte tally (the reference's BenchRecorder analog,
+    * benchmark.rs:83-176 — SURVEY §2.10): stage-level listener totals.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      read.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+  }
+
   /** Stage-taxonomy timings (analog of the reference's per-stage bench,
     * compare_bench.py:29-40): scan+derive+amplify / kernel-only (no
-    * shuffle) / full salted+repartitioned pipeline.
+    * shuffle) / full salted+routed pipeline (with shuffle-byte tally) /
+    * resumable manifest write.
     */
   private def stageTimes(spark: SparkSession, sfDir: String,
                          factor: Int): Map[String, Double] = {
@@ -74,15 +88,33 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    Map(
+    val tally = new ShuffleTally
+    val base = Map(
       "scan_derive" -> time(amplified(spark, sfDir, factor)
         .select(count(lit(1))).head()),
       "extract_noshuffle" -> time(
         graft.pipeline.Extraction.extractDs(amplified(spark, sfDir, factor))
           .select(count(lit(1)), sum(size($"spans"))).head()),
-      "extract_pipeline" -> time(
-        graft.pipeline.Extraction.pipeline(amplified(spark, sfDir, factor))
-          .select(count(lit(1)), sum(size($"spans"))).head()))
+      "extract_pipeline" -> {
+        spark.sparkContext.addSparkListener(tally)
+        val t = time(
+          graft.pipeline.Extraction.pipeline(amplified(spark, sfDir, factor))
+            .select(count(lit(1)), sum(size($"spans"))).head())
+        spark.sparkContext.removeSparkListener(tally)
+        t
+      },
+      "write_resumable" -> {
+        val out = s"/dev/shm/graft-bench-write-${System.nanoTime()}"
+        val t = time(graft.pipeline.TableIO.writeResumable(
+          graft.pipeline.Extraction.extractRows(
+            amplified(spark, sfDir, math.max(1, factor / 4)), buckets = 64),
+          out))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        t
+      })
+    base ++ Map(
+      "pipeline_shuffle_write_mb" -> tally.written.get() / 1048576.0,
+      "pipeline_shuffle_read_mb" -> tally.read.get() / 1048576.0)
   }
 
   /** Skew scenario: a "hot host" whose pages sit CONSECUTIVE in doc_id

@@ -73,7 +73,12 @@ object TableIO {
     // only buckets present in `todo`; committed buckets' data is untouched.
     // (No .cache(): at 100 TB the stats pass below re-reads the *written*
     // parquet with column pruning instead of holding the corpus in memory.)
-    todo.write.mode(SaveMode.Overwrite)
+    // Cluster by bucket BEFORE partitionBy: without it every task opens a
+    // writer per bucket (tasks × buckets tiny files — a small-file
+    // explosion at scale); clustered, each task writes whole buckets.
+    todo
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(s"$outDir/data")
