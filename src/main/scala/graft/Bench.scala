@@ -140,7 +140,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     run(64) // warm
-    Map("skew_salted" -> run(64), "skew_nosalt" -> run(1))
+    // interleaved min-of-2: cancels slow GC/page-cache drift between runs
+    val s1 = run(64); val n1 = run(1); val s2 = run(64); val n2 = run(1)
+    Map("skew_salted" -> math.min(s1, s2), "skew_nosalt" -> math.min(n1, n2))
   }
 
   def main(args: Array[String]): Unit = {
