@@ -22,8 +22,13 @@ object Kernel {
     * (/root/reference/crates/core/src/inference.rs:178-183):
     * CRLF → LF, strip the EOS sentinel, trim.
     */
-  def normalizeText(s: String): String =
-    s.replace("\r\n", "\n").replace(EosSentinel, "").trim
+  def normalizeText(s: String): String = {
+    // fast-path the (overwhelmingly common) no-match cases: String.replace
+    // allocates a matcher + copy even when nothing matches
+    val a = if (s.contains("\r\n")) s.replace("\r\n", "\n") else s
+    val b = if (a.contains(EosSentinel)) a.replace(EosSentinel, "") else a
+    b.trim // returns this when already trimmed
+  }
 
   /** Fraction of whitespace tokens that are `[bracketed]` link tokens —
     * the text-density/link-density boilerplate heuristic (north rule).
@@ -46,11 +51,14 @@ object Kernel {
     */
   def isBoilerplate(kind: String, text: String): Boolean = {
     if (kind != "markup") false
-    else if (linkDensity(text) >= 0.5) true
     else {
-      val first = text.split("\\s+").filter(_.nonEmpty)
-        .map(_.toLowerCase.replaceAll("[^a-z]", ""))
-      first.exists(BoilerplateWords.contains)
+      // tokenize once for both the link-density test and the keyword scan
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty &&
+          toks.count(t => t.startsWith("[") && t.endsWith("]")).toDouble /
+            toks.length >= 0.5) true
+      else toks.exists(t =>
+        BoilerplateWords.contains(t.toLowerCase.replaceAll("[^a-z]", "")))
     }
   }
 

@@ -63,6 +63,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode (monotonic-offset guard analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // (event time seconds, value) — watermark 10 min
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("sec", "v")
+      .select(timestamp_seconds($"sec").as("ts"), $"v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(sum($"v").as("s"))
+      .select(unix_micros($"w.start".cast("timestamp_ltz")).as("win"), $"s")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((0L, 1L), (60L, 2L)))       // window [0,300): 3
+      q.processAllAvailable()
+      stream.addData(Seq((4000L, 5L)))               // advances watermark past 300
+      q.processAllAvailable()
+      stream.addData(Seq((100L, 100L)))              // LATE: before watermark → dropped
+      q.processAllAvailable()
+      stream.addData(Seq((8000L, 7L)))               // advance again, flush nothing late
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").as[(Long, Long)].collect().toMap
+      // closed window [0,300) emitted exactly once with the on-time sum only
+      assert(rows.get(0L).contains(3L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize batch kernel == window-function ev_sessions query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
