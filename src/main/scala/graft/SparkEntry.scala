@@ -493,8 +493,11 @@ object SparkEntry {
          |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
          |sig AS (
          |  SELECT doc_id, shs,
-         |    list_transform(generate_series(0,15),
-         |      k -> list_min(list_transform(shs, s -> ${md5iSql("k || '|' || s")}))) AS sig
+         |    list_transform(generate_series(0,15), k ->
+         |      list_min(list_transform(shs, s ->
+         |        ((${md5iSql("'a|' || k")} % 1000000006 + 1)
+         |           * (${md5iSql("s")} % 1000000007)
+         |         + ${md5iSql("'b|' || k")} % 1000000007) % 1000000007))) AS sig
          |  FROM ds),
          |bnd AS (
          |  SELECT doc_id,
