@@ -34,6 +34,21 @@ object TableIO {
   final case class BucketManifest(bucket: Int, doc_count: Long,
       span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long)
 
+  val SchemaVersion = 1
+
+  /** Monotonic snapshot id (Iceberg-snapshot analog): 0 before any
+    * commit, +1 per successful writeResumable run. The monotonic guard
+    * mirrors the reference's `seq_len decreased` cache invariant.
+    */
+  def currentSnapshot(outDir: String): Long = {
+    val p = Paths.get(outDir, "_SUCCESS.json")
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.readString(p)
+      "\"snapshot\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    }
+  }
+
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "manifests")
   private def manifestPath(outDir: String, bucket: Int): Path =
     manifestDir(outDir).resolve(s"bucket-$bucket.json")
@@ -55,8 +70,9 @@ object TableIO {
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def manifestJson(m: BucketManifest): String =
-    s"""{"bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
+  private def manifestJson(m: BucketManifest, snapshot: Long): String =
+    s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+    s""""bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
     s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum}}"""
 
   /** Resumable bucketed write. Returns the number of buckets written this
@@ -94,12 +110,15 @@ object TableIO {
         expr("bit_xor(checksum)").as("span_checksum"))
       .as[(Int, Long, Long, Long, Long)].collect()
     val wallMs = (System.nanoTime() - t0) / 1000000
+    val snapshot = currentSnapshot(outDir) + 1
     stats.foreach { case (b, dc, sc, by, ck) =>
       writeAtomic(manifestPath(outDir, b),
-        manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck)))
+        manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck), snapshot))
     }
     writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
-      s"""{"buckets_committed":${committedBuckets(outDir).size},"last_run_buckets":${stats.length},"last_run_wall_ms":$wallMs}""")
+      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+      s""""buckets_committed":${committedBuckets(outDir).size},""" +
+      s""""last_run_buckets":${stats.length},"last_run_wall_ms":$wallMs}""")
     stats.length
   }
 

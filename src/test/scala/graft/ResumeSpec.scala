@@ -57,6 +57,17 @@ class ResumeSpec extends AnyFunSuite {
     assert(readAll(killed) == expected, "resumed output differs from single-run output")
   }
 
+  test("snapshot ids are monotonic; schema_version stamped") {
+    val out = tmpDir()
+    assert(TableIO.currentSnapshot(out) == 0L)
+    TableIO.writeResumable(rows, out)
+    assert(TableIO.currentSnapshot(out) == 1L)
+    TableIO.writeResumable(rows, out) // idempotent no-op still advances commit
+    assert(TableIO.currentSnapshot(out) == 2L)
+    val m = Files.readString(Path.of(out, "manifests", "bucket-0.json"))
+    assert(m.contains("\"schema_version\":1") && m.contains("\"snapshot\":1"))
+  }
+
   test("manifest stats: doc/span counts and checksum match recomputation") {
     import spark.implicits._
     val out = tmpDir()
