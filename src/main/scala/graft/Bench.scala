@@ -166,7 +166,8 @@ object Bench {
         val base = s.read.parquet(s"$sfDir/documents.parquet").count()
         val f = sys.env.get("SPARK_GRAFT_AMPLIFY").map(_.toInt)
           .getOrElse(math.max(1L, targetDocs / math.max(1L, base)).toInt)
-        runExtraction(s, sfDir, f); runExtraction(s, sfDir, f)
+        runExtraction(s, sfDir, math.max(1, f / 2))
+        runExtraction(s, sfDir, f)
         f
       } finally s.stop()
     }
@@ -179,8 +180,11 @@ object Bench {
         System.gc()
         val (docs, spans, sec) = Seq.fill(3)(runExtraction(s, sfDir, amplify))
           .minBy(_._3)
-        stages += (s"local$n" -> (stageTimes(s, sfDir, amplify) ++
-          (if (n == scaleN * 4) skewTimes(s, sfDir, amplify / 4) else Map.empty)))
+        // stage/skew diagnostics only at 4N: they re-run the pipeline
+        // several times and would dominate wall time at N
+        if (n == scaleN * 4)
+          stages += (s"local$n" -> (stageTimes(s, sfDir, amplify) ++
+            skewTimes(s, sfDir, amplify / 4)))
         n -> (docs, spans, sec, docs / sec)
       } finally s.stop()
     }.toMap

@@ -182,6 +182,31 @@ object SparkEntry {
       viewers.join(buyers, Seq("user_id"), "left_anti") // anti join (set EXCEPT)
     }),
 
+    "agg_median" -> ((s, dir) => {
+      import s.implicits._
+      // exact interpolating median over integer cents; ×2 keeps the
+      // midpoint case (.5) integer-exact across engines
+      t(s, dir, "events")
+        .withColumn("value_c", floor($"value" * 100).cast("long"))
+        .groupBy($"event_type")
+        .agg(floor(expr("percentile(value_c, 0.5)") * 2).cast("long").as("med2"),
+             count(lit(1)).as("n"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val geo = broadcast(t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name"))
+      t(s, dir, "orders")
+        .join(geo, $"o_custkey" === $"c_custkey")
+        .rollup($"n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(round($"o_totalprice" * 100).cast("long")).as("total_cents"))
+        .select(coalesce($"n_name", lit("(all)")).as("n_name"),
+                $"n_orders", $"total_cents")
+    }),
+
     "topk_brands" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "part").groupBy($"p_brand")
@@ -432,6 +457,21 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "agg_median" ->
+      """SELECT event_type,
+        |  CAST(floor(median(CAST(floor(value * 100) AS BIGINT)) * 2) AS BIGINT) AS med2,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(n_name, '(all)') AS n_name,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name)""".stripMargin,
 
     "topk_brands" ->
       """SELECT p_brand, count(*)::BIGINT AS n FROM part
