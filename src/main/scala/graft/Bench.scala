@@ -175,10 +175,12 @@ object Bench {
     val scaling = Seq(scaleN, scaleN * 4).map { n =>
       val s = session(n)
       try {
-        // min-of-3: GC/JIT variance between identical runs is large in a
-        // long-lived JVM; the min approximates steady-state capacity
+        // min-of-k approximates steady-state capacity under GC/scheduler
+        // noise; the short 4N runs are proportionally noisier, so they
+        // get more repetitions (the extra reps cost seconds, not minutes)
         System.gc()
-        val (docs, spans, sec) = Seq.fill(3)(runExtraction(s, sfDir, amplify))
+        val reps = if (n == scaleN * 4) 5 else 3
+        val (docs, spans, sec) = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
           .minBy(_._3)
         // stage/skew diagnostics only at 4N: they re-run the pipeline
         // several times and would dominate wall time at N
