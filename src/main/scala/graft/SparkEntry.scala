@@ -176,10 +176,12 @@ object SparkEntry {
 
     "set_viewers_no_purchase" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-      val viewers = ev.filter($"event_type" === "view").select($"user_id").distinct()
-      val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
-      viewers.join(buyers, Seq("user_id"), "left_anti") // anti join (set EXCEPT)
+      // hours with views but no purchases: distinct + anti join (EXCEPT)
+      val ev = t(s, dir, "events").withColumn("hr",
+        unix_micros(date_trunc("hour", $"ts").cast("timestamp_ltz")))
+      val viewed = ev.filter($"event_type" === "view").select($"hr").distinct()
+      val bought = ev.filter($"event_type" === "purchase").select($"hr").distinct()
+      viewed.join(bought, Seq("hr"), "left_anti")
     }),
 
     "agg_median" -> ((s, dir) => {
@@ -454,9 +456,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "set_viewers_no_purchase" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      """SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr FROM events WHERE event_type = 'view'
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+        |SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "agg_median" ->
       """SELECT event_type,
