@@ -92,6 +92,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful query restart recovers state from checkpoint (ST5/resume analog)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val min = 60L * 1000000L
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[UserSessions]()
+    def start() = {
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", "1").parquet(src).as[Ev]
+      StreamingExtract.sessionize(stream)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSessions], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+    }
+    // batch 1: user 1, one session of 2 events
+    Seq(Ev(1L, 1L, 0L), Ev(1L, 2L, 10 * min)).toDS()
+      .repartition(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // restart from checkpoint; batch 2 starts a NEW session (45-min gap)
+    Seq(Ev(1L, 3L, 55 * min)).toDS()
+      .repartition(1).write.mode("append").parquet(src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val last = seen.toArray(Array.empty[UserSessions])
+        .filter(_.user_id == 1L).maxBy(_.n_events)
+      // state carried across restart: 3 events total, 2 sessions — NOT
+      // 1 event / 1 session as a stateless restart would report
+      assert(last == UserSessions(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
   test("sessionize batch kernel == window-function ev_sessions query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
