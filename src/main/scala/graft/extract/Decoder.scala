@@ -1,0 +1,52 @@
+package graft.extract
+
+/** Deterministic greedy decode loop — the dataflow skeleton of the
+  * reference's `generate` (/root/reference/crates/core/src/model/
+  * mod.rs:1333-1456): argmax next-token selection (A3), `max_new_tokens`
+  * bound (T4), EOS early stop both at prefill and inside the loop (O11),
+  * and a monotonic progress callback whose deltas reassemble to exactly
+  * the final sequence (ST1/ST2 — cli/app.rs:150-170 prints only
+  * `ids[last..count]` per callback; the server guard drops non-monotonic
+  * callbacks, server/stream.rs:239-252).
+  *
+  * The "model" is abstracted to a pure `step: Seq[Long] => Seq[(Long,
+  * Double)]` scoring function, so the loop's control semantics are
+  * testable without any weights — scores in, ordered ids out.
+  */
+object Decoder {
+
+  final case class DecodeResult(generated: Seq[Long], stoppedByEos: Boolean,
+                                steps: Int)
+
+  /** Argmax with deterministic tie-break on the lower token id (stable
+    * across runs and engines, like the reference's fixed argmax).
+    */
+  def argmax(scores: Seq[(Long, Double)]): Long = {
+    require(scores.nonEmpty, "empty score distribution")
+    scores.minBy { case (id, s) => (-s, id) }._1
+  }
+
+  /** Greedy loop: extend `prompt` until EOS or `maxNewTokens`.
+    * `onProgress(count, ids)` fires after each accepted token with the
+    * full generated prefix — count is strictly increasing (ST2); a
+    * consumer decoding only deltas reconstructs the exact output (ST1).
+    */
+  def decodeGreedy(prompt: Seq[Long], eos: Long, maxNewTokens: Int)(
+      step: Seq[Long] => Seq[(Long, Double)])(
+      onProgress: (Int, Seq[Long]) => Unit = (_, _) => ()): DecodeResult = {
+    require(maxNewTokens >= 0, "negative token budget")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var stopped = false
+    var i = 0
+    while (i < maxNewTokens && !stopped) {
+      val next = argmax(step(prompt ++ out))
+      if (next == eos) stopped = true // EOS not emitted (mod.rs:1437-1441)
+      else {
+        out += next
+        onProgress(out.length, out.toSeq)
+      }
+      i += 1
+    }
+    DecodeResult(out.toSeq, stopped, i)
+  }
+}
