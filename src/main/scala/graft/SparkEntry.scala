@@ -260,6 +260,24 @@ object SparkEntry {
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
 
+    // End-to-end resumable-write round-trip: extract → bucketed manifest
+    // write (TableIO) → read back COMMITTED buckets only → per-bucket
+    // stats. The oracle recomputes bucket membership and span counts from
+    // documents.parquet, so the manifest/commit/read layer itself is
+    // driver-verified.
+    "tio_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-verify").toString
+      val rows = graft.pipeline.Extraction.extractRows(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
+      graft.pipeline.TableIO.writeResumable(rows, out)
+      graft.pipeline.TableIO.readCommitted(s, out)
+        .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"span_count").cast("long").as("n_spans"))
+    }),
+
     // Native codegen'd Catalyst expression (SparkSessionExtensions tier):
     // normalize noisy text (CRLF + EOS sentinel + padding) back to the
     // clean original — oracle is simply the original column.
@@ -698,6 +716,18 @@ object SparkEntry {
 
     "ext_normalize_expr" ->
       "SELECT doc_id, text AS norm FROM documents",
+
+    "tio_roundtrip" ->
+      s"""WITH w AS (
+         |  SELECT ${md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
+         |    (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+         |       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         |       + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |       + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_spans
+         |  FROM documents)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans
+         |FROM w GROUP BY bucket""".stripMargin,
 
     "tok_stream" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,

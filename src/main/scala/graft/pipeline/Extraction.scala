@@ -108,12 +108,11 @@ object Extraction {
     })
   }
 
-  /** Stable, deterministic bucket assignment (FNV-1a of doc_id). */
-  def bucketOf(docId: String, buckets: Int): Int = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < docId.length) { h ^= docId.charAt(i); h *= 0x100000001b3L; i += 1 }
-    val m = (h % buckets).toInt
-    if (m < 0) m + buckets else m
-  }
+  /** Stable, deterministic, engine-portable bucket assignment:
+    * md5i(doc_id) % buckets (positive 60-bit hash — see
+    * [[graft.functions.Hashing]]), so the DuckDB oracle can recompute
+    * bucket membership for the resumable-write round-trip query.
+    */
+  def bucketOf(docId: String, buckets: Int): Int =
+    (graft.functions.Hashing.md5i(docId) % buckets).toInt
 }
