@@ -24,10 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
+  // one digest instance per task thread: getInstance per call costs an
+  // allocation + provider lookup, and the dedup kernels hash millions of
+  // shingles per partition
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Lowercase hex md5 of the UTF-8 bytes — same as Spark/DuckDB `md5()`. */
   def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {
