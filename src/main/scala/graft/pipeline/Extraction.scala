@@ -45,6 +45,35 @@ object Extraction {
     docs.mapPartitions(_.map(Kernel.extract))
   }
 
+  /** Live task-side metrics — the analog of the reference's injected
+    * progress callback + bench recorder (model/mod.rs:96,1405-1407;
+    * benchmark.rs:83-176): named LongAccumulators updated inside the
+    * kernel loop, visible on the driver while the job runs (and in the
+    * Spark UI / listener bus on a real cluster).
+    */
+  final case class Metrics(docs: org.apache.spark.util.LongAccumulator,
+                           spansIn: org.apache.spark.util.LongAccumulator,
+                           spansOut: org.apache.spark.util.LongAccumulator) {
+    def dropped: Long = spansIn.value - spansOut.value
+  }
+
+  def metrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.docs"),
+    spark.sparkContext.longAccumulator("graft.spans_in"),
+    spark.sparkContext.longAccumulator("graft.spans_out"))
+
+  /** extractDs with live accumulator updates per document. */
+  def extractDsWithMetrics(docs: Dataset[Doc], m: Metrics): Dataset[ExtractedDoc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
+    docs.mapPartitions(_.map { d =>
+      val out = Kernel.extract(d)
+      m.docs.add(1L)
+      m.spansIn.add(d.spans.size.toLong)
+      m.spansOut.add(out.spans.size.toLong)
+      out
+    })
+  }
+
   /** Full pipeline with explicit salt + range rebalance (north rule).
     *
     * Order: kernel FIRST (narrow, on size-balanced input splits), THEN
