@@ -122,6 +122,59 @@ object TableIO {
     stats.length
   }
 
+  /** Streaming ingestion: idempotent per-micro-batch commit. A replayed
+    * batch (restart between data write and manifest commit, or source
+    * offset replay) is detected by its batch manifest and re-written
+    * WHOLE via overwrite — never double-appended. This is the standard
+    * foreachBatch exactly-once recipe: checkpointed source offsets +
+    * idempotent batch-keyed sink.
+    *
+    * Layout: data/batch=<id>/bucket=<i>/ + manifests/batch-<id>.json.
+    * Returns false when the batch was already committed (no-op replay).
+    */
+  def appendBatchIdempotent(rows: Dataset[ExtractedRow], outDir: String,
+                            batchId: Long): Boolean = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val mpath = manifestDir(outDir).resolve(s"batch-$batchId.json")
+    if (Files.exists(mpath)) return false
+    rows.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite) // replay-safe: replace, never append
+      .partitionBy("bucket")
+      .parquet(s"$outDir/data/batch=$batchId")
+    // explicit schema: an empty micro-batch writes a file-less dir, which
+    // would fail schema inference
+    val (nd, ns) = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[ExtractedRow].schema)
+      .parquet(s"$outDir/data/batch=$batchId")
+      .agg(count(lit(1)), coalesce(sum($"span_count").cast("long"), lit(0L)))
+      .as[(Long, Long)].head()
+    writeAtomic(mpath,
+      s"""{"schema_version":$SchemaVersion,"batch":$batchId,"doc_count":$nd,"span_count":$ns}""")
+    true
+  }
+
+  def committedBatches(outDir: String): Set[Long] = {
+    val dir = manifestDir(outDir)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("batch-") && s.endsWith(".json") =>
+        s.stripPrefix("batch-").stripSuffix(".json").toLong }
+      .toSet
+  }
+
+  /** Read rows of manifest-committed micro-batches only. */
+  def readCommittedBatches(spark: SparkSession, outDir: String): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    val done = committedBatches(outDir)
+    spark.read.option("basePath", s"$outDir/data")
+      .parquet(done.toSeq.map(b => s"$outDir/data/batch=$b"): _*)
+      .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
+              $"span_count", $"bytes", $"checksum")
+      .as[ExtractedRow]
+  }
+
   /** Read back only manifest-committed buckets (manifest-listed reads —
     * partial, uncommitted bucket dirs are invisible to readers).
     */

@@ -49,6 +49,32 @@ object StreamingExtract {
       .start()
   }
 
+  /** Continuous extraction: stream newly-arrived document files through
+    * the SAME kernel as the batch pipeline, committing each micro-batch
+    * through the resumable TableIO layer (bucket manifests + atomic
+    * markers). The kernel is stateless per doc, so the streaming plan is
+    * a pure narrow map — exactly-once lands on TableIO's idempotent
+    * bucket overwrite + the checkpointed source offsets.
+    */
+  def extractStream(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[graft.schema.Doc].schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir)
+      .as[graft.schema.Doc]
+    graft.pipeline.Extraction.extractRows(docs, buckets = 16)
+      .writeStream
+      .foreachBatch {
+        (batch: Dataset[graft.pipeline.Extraction.ExtractedRow], id: Long) =>
+          graft.pipeline.TableIO.appendBatchIdempotent(batch, outDir, id)
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, count: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -130,6 +130,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming extraction: continuous kernel ingestion == batch extraction; batch replay is idempotent") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.pipeline.{Extraction, TableIO}
+    val src = Files.createTempDirectory("graft-sx-src").toString
+    val out = Files.createTempDirectory("graft-sx-out").toString
+    val ckpt = Files.createTempDirectory("graft-sx-ckpt").toString
+    val all = graft.corpus.CorpusDerive.derive(spark, "/root/testdata/sf0.001")
+    // arrival in two waves
+    val (w1, w2) = (all.filter(_.doc_id < "d0000000500"),
+                    all.filter(_.doc_id >= "d0000000500"))
+    w1.repartition(1).write.mode("append").parquet(src)
+    val q = StreamingExtract.extractStream(spark, src, out, ckpt)
+    try {
+      q.processAllAvailable()
+      w2.repartition(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = TableIO.readCommittedBatches(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).toSet
+    val batch = Extraction.extractDs(all)
+      .collect().map(d => (d.doc_id, d.spans, d.markdown)).toSet
+    assert(streamed == batch)
+    // idempotent replay: re-committing an already-committed batch id is a no-op
+    val firstBatch = TableIO.committedBatches(out).min
+    val replay = Extraction.extractRows(w1, buckets = 16)
+    assert(!TableIO.appendBatchIdempotent(replay, out, firstBatch))
+    assert(TableIO.readCommittedBatches(spark, out).count() == batch.size)
+  }
+
   test("sessionize batch kernel == window-function ev_sessions query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
