@@ -254,6 +254,12 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")),
     "ann_lsh_sketch" -> ((s, dir) => SimilarityOps.lshSketch(s, t(s, dir, "embeddings"))),
 
+    // ---- deterministic sampling / dataset splits ----
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.SampleOps.sampleStats(t(s, dir, "documents"), "source", pct = 10)),
+    "split_assign" -> ((s, dir) =>
+      graft.operators.SampleOps.splitStats(t(s, dir, "documents"), "lang")),
+
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
     "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
@@ -645,6 +651,20 @@ object SparkEntry {
          |FROM (SELECT vec_id,
          |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
          |      FROM embeddings)""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT source, count(*)::BIGINT AS n_total,
+         |  CAST(sum(CASE WHEN ${md5iSql("'sample|' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "split_assign" ->
+      s"""SELECT lang,
+         |  CASE WHEN g < 80 THEN 'train' WHEN g < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*)::BIGINT AS n
+         |FROM (SELECT lang, ${md5iSql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS g
+         |      FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
 
     "mm_decode" ->
       s"""WITH refs AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & dataset-split operators for training-data
+  * pipelines: hash-based Bernoulli sampling stratified by a key, and
+  * stable train/val/test assignment.
+  *
+  * Hash-gate sampling (keep iff md5i(salt|id) % 100 < pct) beats
+  * `df.sample()` at corpus scale because membership is a PURE FUNCTION
+  * of the row: reproducible across runs/retries/engines (no RNG state,
+  * no partition-order dependence), stable under resume, and pushable
+  * anywhere in the plan. Same construction as the stratified designs in
+  * "Stratified Random Sampling over Streaming and Stored Data"
+  * (EDBT 2019, PAPERS.md) — per-stratum gates with deterministic keys.
+  */
+object SampleOps {
+
+  private def gate(salt: String, id: Column): Column =
+    Hashing.md5iCol(concat(lit(salt + "|"), id.cast("string"))) % 100L
+
+  /** Per-stratum deterministic Bernoulli sample at `pct` percent. */
+  def stratifiedSample(docs: DataFrame, stratum: String, pct: Int): DataFrame =
+    docs.filter(gate("sample", col("doc_id")) < pct)
+
+  /** Stratum-level accounting: totals, sampled counts. */
+  def sampleStats(docs: DataFrame, stratum: String, pct: Int): DataFrame =
+    docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(gate("sample", col("doc_id")) < pct, 1L).otherwise(0L))
+          .as("n_sampled"))
+
+  /** Stable 80/10/10 split assignment (pure function of doc_id). */
+  def splitColumn(id: Column): Column = {
+    val g = gate("split", id)
+    when(g < 80L, "train").when(g < 90L, "val").otherwise("test")
+  }
+
+  /** Split sizes per stratum — the audit table for dataset cards. */
+  def splitStats(docs: DataFrame, stratum: String): DataFrame =
+    docs.withColumn("split", splitColumn(col("doc_id")))
+      .groupBy(col(stratum), col("split"))
+      .agg(count(lit(1)).as("n"))
+}
