@@ -104,9 +104,11 @@ object SparkEntry {
     //      set ops, JSON — SURVEY.md §2.3/2.5/2.6/2.7/2.8 analogs ----
     "q3_topk" -> ((s, dir) => {
       import s.implicits._
-      // dims broadcast explicitly; orders⋈lineitem is the only shuffle join
-      val cust = broadcast(t(s, dir, "customer")
-        .filter($"c_mktsegment" === "BUILDING").select("c_custkey"))
+      // customer SCALES with the corpus — no forced broadcast (Catalyst/
+      // AQE broadcasts while it fits, shuffle-joins at 100 TB); the
+      // segment filter is pushed to its scan either way
+      val cust = t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
@@ -120,10 +122,12 @@ object SparkEntry {
 
     "q5_region_rev" -> ((s, dir) => {
       import s.implicits._
-      val geo = broadcast(t(s, dir, "customer")
+      // broadcast ONLY the fixed-cardinality dims (nation/region);
+      // customer scales with the corpus and joins by shuffle at scale
+      val geo = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
-        .select($"c_custkey", $"n_name", $"r_name"))
+        .select($"c_custkey", $"n_name", $"r_name")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(geo, $"o_custkey" === $"c_custkey")
@@ -197,9 +201,9 @@ object SparkEntry {
 
     "q_rollup" -> ((s, dir) => {
       import s.implicits._
-      val geo = broadcast(t(s, dir, "customer")
+      val geo = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
-        .select($"c_custkey", $"n_name"))
+        .select($"c_custkey", $"n_name")
       t(s, dir, "orders")
         .join(geo, $"o_custkey" === $"c_custkey")
         .rollup($"n_name")
