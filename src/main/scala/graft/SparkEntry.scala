@@ -573,9 +573,17 @@ object SparkEntry {
          |  SELECT doc_id,
          |    md5(sig[4*b+1] || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4]) AS bk
          |  FROM (SELECT doc_id, sig, unnest(generate_series(0,3)) AS b FROM sig)),
+         |sz AS (SELECT bk, count(*) AS n, min(doc_id) AS rep FROM bnd GROUP BY bk),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |    JOIN sz ON sz.bk = x.bk
+         |    WHERE sz.n <= ${DedupOps.MaxBucket}
+         |    UNION ALL
+         |    SELECT sz.rep AS doc_a, b.doc_id AS doc_b
+         |    FROM bnd b JOIN sz ON sz.bk = b.bk
+         |    WHERE sz.n > ${DedupOps.MaxBucket} AND b.doc_id <> sz.rep)),
          |v AS (
          |  SELECT doc_a, doc_b,
          |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
@@ -604,26 +612,60 @@ object SparkEntry {
          |      THEN list_transform(generate_series(1, len(ws)-2),
          |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
          |      ELSE [array_to_string(ws, ' ')] END) AS shs
-         |  FROM (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents))
+         |  FROM (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents)),
+         |inv AS (SELECT doc_id, source, unnest(shs) AS s FROM ds),
+         |dfc AS (SELECT source, s FROM inv GROUP BY source, s
+         |        HAVING count(*) <= ${DedupOps.MaxDf}),
+         |kept AS (SELECT inv.doc_id, inv.source, inv.s
+         |         FROM inv JOIN dfc ON inv.source = dfc.source AND inv.s = dfc.s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT * FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT doc_a, doc_b,
          |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
          |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
-         |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  FROM cand JOIN ds a ON a.doc_id = cand.doc_a
+         |            JOIN ds b ON b.doc_id = cand.doc_b)
          |WHERE jacc_i*10 >= jacc_u*3""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH n AS (
-        |  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq
-        |  FROM (SELECT vec_id, label,
-        |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-        |        FROM embeddings))
-        |SELECT * FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i]))::BIGINT AS dot,
-        |    a.nsq AS na, b.nsq AS nb
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb""".stripMargin,
+      s"""WITH n AS (
+         |  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq,
+         |    list_reduce(
+         |      list_transform(generate_series(0,${SimilarityOps.Planes - 1}), p ->
+         |        CASE WHEN list_sum(list_transform(generate_series(1, len(q)),
+         |               d -> (${md5iSql("p || '|' || (d-1)")} % 2001 - 1000) * q[d])) > 0
+         |          THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+         |      (a,b) -> a | b) AS sketch
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |        FROM embeddings)),
+         |bnd AS (
+         |  SELECT vec_id,
+         |    b || '|' || ((sketch >> (b * ${DedupOps.EmbBandBits})) % ${1 << DedupOps.EmbBandBits})
+         |      || '|' || label AS bk
+         |  FROM (SELECT vec_id, label, sketch,
+         |          unnest(generate_series(0, ${DedupOps.EmbBands - 1})) AS b FROM n)),
+         |sz AS (SELECT bk, count(*) AS nb2, min(vec_id) AS rep FROM bnd GROUP BY bk),
+         |cand AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |    FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.vec_id < y.vec_id
+         |    JOIN sz ON sz.bk = x.bk
+         |    WHERE sz.nb2 <= ${DedupOps.MaxBucket}
+         |    UNION ALL
+         |    SELECT sz.rep AS vec_a, b.vec_id AS vec_b
+         |    FROM bnd b JOIN sz ON sz.bk = b.bk
+         |    WHERE sz.nb2 > ${DedupOps.MaxBucket} AND b.vec_id <> sz.rep))
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i]))::BIGINT AS dot,
+         |    a.nsq AS na, b.nsq AS nb
+         |  FROM cand JOIN n a ON a.vec_id = cand.vec_a
+         |            JOIN n b ON b.vec_id = cand.vec_b)
+         |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb""".stripMargin,
 
     "ann_topk" ->
       """WITH n AS (

@@ -5,29 +5,52 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a web-scale training-data pipeline:
-  * exact, MinHash+LSH, SimHash, and blocked n-gram-Jaccard near-dup.
+  * exact, MinHash+LSH, SimHash, and inverted-index n-gram-Jaccard near-dup.
   *
   * Scale design (100 TB / 1000 executors):
   *  - Signature computation is a NARROW per-row pass (mapPartitions-style
   *    typed map / codegen'd projections) — scan-bound, no shuffle.
   *  - The only shuffles are (a) the band-bucket exchange keyed by the LSH
   *    band signature (this is the whole point of LSH: candidate discovery
-  *    without the O(n²) cross join), and (b) the blocked self-join keyed
-  *    on the blocking column. Identical-content floods make band buckets
-  *    skewed: `MaxBucket` caps within-bucket pair emission so one viral
-  *    page cannot produce a quadratic task (capped buckets are still fully
-  *    deduplicated transitively via their shared band key).
+  *    without the O(n²) cross join), and (b) the inverted-index join keyed
+  *    on (source, shingle). Both carry explicit SKEW CAPS:
+  *      * `MaxBucket` — an identical-content flood lands every copy in the
+  *        same band bucket; buckets over the cap emit a linear STAR of
+  *        pairs to the bucket's min doc_id (the representative) instead of
+  *        all O(bucket²) pairs. Every member stays transitively connected
+  *        to the whole bucket through the representative, so connected-
+  *        component dedup keeps identical semantics while one viral page
+  *        can no longer produce a quadratic task.
+  *      * `MaxDf` — boilerplate shingles shared by everything ("all rights
+  *        reserved …") are dropped from the inverted index BEFORE the
+  *        pair join (candidate generation only; verification still uses
+  *        the full shingle sets, so surviving pairs' Jaccard values are
+  *        exact). This bounds the per-shingle pair fan-out at O(MaxDf²)
+  *        and is the standard df-cut from MinHash/suffix-dedup practice.
+  *    The bounded-structure discipline mirrors the reference's own guards
+  *    (/root/reference/crates/core/src/vision/preprocess.rs:23-32 bounded
+  *    BTreeSet of candidate grids; cache growth guard
+  *    transformer/cache.rs:78-118).
   *  - Pair verification joins fetch shingle sets by doc_id — broadcast at
   *    test scale, shuffle-hash at corpus scale; AQE picks per stats.
   *
   * Hash/quantization choices are engine-portable (see [[Hashing]]) so the
-  * DuckDB oracle can recompute every output exactly.
+  * DuckDB oracle can recompute every output exactly — including the caps,
+  * which are mirrored verbatim in the oracle SQL.
   */
 object DedupOps {
 
   val NumHashes = 16       // minhash signature length
   val Bands     = 4        // LSH bands × 4 rows each
   val RowsPerBand: Int = NumHashes / Bands
+  /** Band buckets larger than this emit star pairs (rep = min doc_id)
+    * instead of all pairs — the identical-content-flood guard.
+    */
+  val MaxBucket = 64
+  /** Shingles appearing in more than this many docs of one source are
+    * excluded from n-gram candidate generation (viral-boilerplate guard).
+    */
+  val MaxDf = 128
 
   final case class DocShingles(doc_id: Long, shingles: Array[String],
                                sig: Array[Long])
@@ -88,12 +111,34 @@ object DedupOps {
     Hashing.md5hex((0 until RowsPerBand)
       .map(r => sig(band * RowsPerBand + r)).mkString(","))
 
+  /** Candidate pairs from band buckets with the `MaxBucket` skew cap:
+    * buckets ≤ cap emit all pairs; larger buckets emit the linear star
+    * (rep, member) with rep = min doc_id — so an N-copy flood costs O(N)
+    * pairs, not O(N²), while staying one connected component.
+    */
+  def bandCandidates(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    import bands.sparkSession.implicits._
+    val sizes = bands.groupBy($"bk")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("rep"))
+    val small = bands.join(sizes.filter($"n" <= maxBucket).select("bk"), "bk")
+    val smallPairs = small.as("x").join(small.as("y"),
+        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // rep = bucket min, so rep < doc_id holds for every emitted star pair
+    val starPairs = bands
+      .join(sizes.filter($"n" > maxBucket).select($"bk", $"rep"), "bk")
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     * Output: (doc_a, doc_b, jacc_i, jacc_u) where 10*i >= 7*u (J ≥ 0.7),
     * i/u = |A∩B| / |A∪B| over distinct shingle sets — integer-exact, no
     * float thresholds to drift across engines.
     */
-  def minhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashPairs(spark: SparkSession, docs: DataFrame,
+                   maxBucket: Int = MaxBucket): DataFrame = {
     import spark.implicits._
     // persist the sketches: referenced three times below (band explode +
     // both sides of the verification join); recomputing the shingle/
@@ -104,49 +149,53 @@ object DedupOps {
     val bands = ds.flatMap { d =>
       (0 until Bands).iterator.map(b => (bandKey(d.sig, b), d.doc_id))
     }.toDF("bk", "doc_id")
-    // candidate pairs: docs sharing any band bucket (shuffle on band key)
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .distinct()
-    verifyJaccard(spark, cand, ds, numerator = 10, denominator = 7)
+    val cand = bandCandidates(bands, maxBucket)
+    verifyJaccard(spark, cand, ds.toDF(), numerator = 10, denominator = 7)
   }
 
-  /** Blocked n-gram Jaccard via an INVERTED SHINGLE INDEX: explode
-    * distinct shingles, self-join on (source, shingle) so only pairs that
-    * actually share a shingle are generated, count shared shingles per
-    * pair, then |A∪B| = |A|+|B|−|A∩B|. Threshold J ≥ 0.3.
+  /** n-gram Jaccard via an INVERTED SHINGLE INDEX with a df cap: explode
+    * distinct shingles, drop shingles with per-source document frequency
+    * above `maxDf` (viral boilerplate — the skew guard), self-join on
+    * (source, shingle) so only pairs sharing a SELECTIVE shingle are
+    * generated, then verify each candidate pair against the FULL shingle
+    * sets: |A∩B| / |A∪B| exact, threshold J ≥ 0.3.
     *
     * This is the scale-correct shape: a block cross-join is O(block²)
-    * regardless of similarity, while the index join is O(Σ pairs sharing
-    * a shingle) — near-linear on natural corpora. At web scale the one
-    * extra guard is a document-frequency cap on viral shingles (skew);
-    * results here need none, keeping output oracle-exact.
+    * regardless of similarity; the capped index join is O(Σ_s df(s)²) with
+    * df(s) ≤ maxDf — near-linear on natural corpora, bounded even on
+    * boilerplate floods. Verification from full sets keeps every emitted
+    * Jaccard value exact (the cap only prunes candidate discovery).
     */
-  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
+                        maxDf: Int = MaxDf): DataFrame = {
     import spark.implicits._
     val ds = docs.select("doc_id", "source", "text").as[(Long, String, String)]
       .map { case (id, src, text) => (id, src, shingles(text).distinct) }
       .toDF("doc_id", "source", "sh")
-    val lens = ds.select($"doc_id", size($"sh").cast("long").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
-    val shared = inv.as("a").join(inv.as("b"),
+    val dfCounts = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
+    val kept = inv.join(dfCounts.filter($"df" <= maxDf).select("source", "s"),
+      Seq("source", "s"))
+    val cand = kept.as("a").join(kept.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" &&
           $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("jacc_i"))
-    shared
-      .join(lens.withColumnRenamed("doc_id", "doc_a")
-                .withColumnRenamed("len", "len_a"), "doc_a")
-      .join(lens.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("len", "len_b"), "doc_b")
-      .select($"doc_a", $"doc_b", $"jacc_i",
-        ($"len_a" + $"len_b" - $"jacc_i").as("jacc_u"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sets = ds.select($"doc_id", $"sh")
+    cand
+      .join(sets.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("jacc_i"),
+        size(array_union($"sh_a", $"sh_b")).cast("long").as("jacc_u"))
       .filter($"jacc_i" * 10 >= $"jacc_u" * 3)
   }
 
   private def verifyJaccard(spark: SparkSession, cand: DataFrame,
-      ds: Dataset[DocShingles], numerator: Int, denominator: Int): DataFrame = {
+      ds: DataFrame, numerator: Int, denominator: Int): DataFrame = {
     import spark.implicits._
     val sets = ds.select($"doc_id", $"shingles")
     cand
@@ -193,21 +242,51 @@ object DedupOps {
       .toDF("doc_id", "simhash")
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by `label`.
-    * Embeddings are quantized q = floor(1000*v) (exact in both engines);
-    * the cosine threshold t = 0.4 is tested in EXACT integer arithmetic:
+  /** Bits per LSH band of the 16-bit hyperplane sketch (4 bands × 4). */
+  val EmbBandBits = 4
+  val EmbBands: Int = SimilarityOps.Planes / EmbBandBits
+
+  /** Embedding-cosine near-duplicate pairs. CANDIDATES come from a BANDED
+    * random-hyperplane LSH sketch ([[SimilarityOps.lshSketch]], Charikar
+    * '02): the 16-bit sketch splits into 4 bands of 4 bits, and a pair is
+    * a candidate when it shares ANY band value within its `label` block —
+    * exactly the minhash band discipline, including the [[MaxBucket]]
+    * star-cap on skewed buckets. The exchange is keyed by
+    * (band, value, label) buckets, never all-pairs-per-label: a hot label
+    * spreads over 4×16 buckets, a near-identical flood collapses into one
+    * bucket and gets the linear star. VERIFICATION is the same exact
+    * integer cosine as before:
+    * embeddings quantized q = floor(1000*v) (exact in both engines);
+    * threshold t = 0.4 tested in EXACT integer arithmetic:
     *   cos ≥ t  ⟺  dot > 0 ∧ 25·dot² ≥ 4·na·nb      (t² = 4/25)
     * with dot = Σ qa·qb, na = Σ qa², nb = Σ qb² — all BIGINT-exact
-    * (dim 64, |q| ≤ ~530 ⇒ 25·dot² < 2^63). No float compare anywhere.
+    * (dim 64, |q| ≤ ~530 ⇒ 25·dot² < 2^63). No float compare anywhere;
+    * the oracle reproduces the sketch bit-for-bit (planeCoef is
+    * md5i-derived). Banded LSH is probabilistic recall by design: pairs
+    * near the 0.4 threshold may miss every band (the trade for never
+    * scanning all pairs); identical/near-identical vectors always collide.
     */
-  def embeddingNearDupPairs(spark: SparkSession, emb: DataFrame): DataFrame = {
+  def embeddingNearDupPairs(spark: SparkSession, emb: DataFrame,
+                            maxBucket: Int = MaxBucket): DataFrame = {
     import spark.implicits._
     val q = SimilarityOps.quantized(emb)
-    q.as("a").join(q.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        SimilarityOps.dot($"a.q", $"b.q").as("dot"),
-        $"a.nsq".as("na"), $"b.nsq".as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = SimilarityOps.lshSketch(spark, emb)
+      .join(q.select($"vec_id", $"label"), "vec_id")
+    val bands = sk
+      .select($"vec_id", $"label", $"sketch",
+        explode(sequence(lit(0), lit(EmbBands - 1))).as("b"))
+      .select(concat($"b", lit("|"),
+          expr(s"shiftright(sketch, b * $EmbBandBits) % ${1 << EmbBandBits}"),
+          lit("|"), $"label").as("bk"),
+        $"vec_id".as("doc_id"))
+    val cand = bandCandidates(bands, maxBucket)
+      .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
+    cand
+      .join(q.select($"vec_id".as("vec_a"), $"q".as("qa"), $"nsq".as("na")), "vec_a")
+      .join(q.select($"vec_id".as("vec_b"), $"q".as("qb"), $"nsq".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        SimilarityOps.dot($"qa", $"qb").as("dot"), $"na", $"nb")
       .filter($"dot" > 0L && lit(25L) * $"dot" * $"dot" >= lit(4L) * $"na" * $"nb")
   }
 }

@@ -65,21 +65,52 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // blocked: (1,4) not compared
   }
 
-  test("embedding near-dup + topk: exact integer cosine math") {
+  test("embedding near-dup + topk: LSH-bucketed candidates, exact cosine verify") {
     import spark.implicits._
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
-      (1L, Array(0.99f, 0.05f, 0.0f), 0),  // near 0
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),    // identical, same label -> pair
       (2L, Array(0.0f, 1.0f, 0.0f), 0),    // orthogonal
-      (3L, Array(1.0f, 0.0f, 0.0f), 1))    // same as 0, other label
+      (3L, Array(1.0f, 0.0f, 0.0f), 1))    // identical, other label -> blocked
       .toDF("vec_id", "embedding", "label")
     val nd = DedupOps.embeddingNearDupPairs(spark, emb)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(nd == Set((0L, 1L))) // label-blocked: (0,3) not compared
+    // (0,1) collide on every hyperplane (identical) and share the label;
+    // (0,3) share the sketch but not the label; (0,2) dot=0 fails verify
+    assert(nd == Set((0L, 1L)))
     val topk = SimilarityOps.bruteForceTopK(spark, emb, nQueries = 1, k = 2)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
-    // v3 is identical to v0 (cos 1.0) -> rank 1; v1 (cos ≈ .9987) -> rank 2
-    assert(topk == Map(3L -> 1L, 1L -> 2L))
+    // v1/v3 identical to v0 (cos 1.0) -> ranks 1,2 by id tie-break
+    assert(topk == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("minhash flood: MaxBucket cap emits a linear star, one component") {
+    import spark.implicits._
+    val n = DedupOps.MaxBucket + 36
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = (1L to n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(spark, docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // capped: every member pairs with the representative (min doc_id) only
+    assert(pairs.size == n - 1)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2) == (2L to n.toLong).toSet)
+    // uncapped comparison: the same flood is quadratic
+    val unc = DedupOps.minhashPairs(spark, docs, maxBucket = 10 * n)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unc.size == n.toLong * (n - 1) / 2)
+  }
+
+  test("ngram df cap drops viral-shingle-only candidates") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, "s1", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    // every shingle has df=4: with maxDf=3 no candidates survive at all,
+    // even though every pair has J=1 — the cap governs candidate discovery
+    val capped = DedupOps.ngramJaccardPairs(spark, docs, maxDf = 3).count()
+    assert(capped == 0L)
+    val full = DedupOps.ngramJaccardPairs(spark, docs).count()
+    assert(full == 6L)
   }
 
   test("lsh sketch: identical vectors identical sketch, deterministic coef") {
