@@ -264,11 +264,20 @@ object SparkEntry {
     "split_assign" -> ((s, dir) =>
       graft.operators.SampleOps.splitStats(t(s, dir, "documents"), "lang")),
 
-    // ---- multimodal binary-column plumbing (decode stubbed) ----
+    // ---- multimodal binary-column plumbing (real header decode) ----
     "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
     "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
+
+    // S1 source end-to-end: media items materialized as real image files
+    // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
+    // dims parsed from the scanned bytes.
+    "bin_source" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bin-source").toString
+      MediaOps.binaryFileRoundTrip(s, t(s, dir, "documents"), out).toDF()
+    }),
 
     // End-to-end resumable-write round-trip: extract → bucketed manifest
     // write (TableIO) → read back COMMITTED buckets only → per-bucket
@@ -721,8 +730,27 @@ object SparkEntry {
          |  (${md5iSql("'w|' || media_ref")} % 1920 + 1)::BIGINT AS width,
          |  (${md5iSql("'h|' || media_ref")} % 1080 + 1)::BIGINT AS height,
          |  CASE ${md5iSql("'t|' || media_ref")} % 3
-         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-         |  16::BIGINT AS n_bytes
+         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+         |  (CASE ${md5iSql("'t|' || media_ref")} % 3
+         |    WHEN 0 THEN ${MediaOps.MediaHeaders.JpegLen}
+         |    WHEN 1 THEN ${MediaOps.MediaHeaders.PngLen}
+         |    ELSE ${MediaOps.MediaHeaders.GifLen} END)::BIGINT AS n_bytes
+         |FROM refs""".stripMargin,
+
+    "bin_source" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0)
+         |SELECT media_ref,
+         |  (${md5iSql("'w|' || media_ref")} % 1920 + 1)::BIGINT AS width,
+         |  (${md5iSql("'h|' || media_ref")} % 1080 + 1)::BIGINT AS height,
+         |  CASE ${md5iSql("'t|' || media_ref")} % 3
+         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+         |  (CASE ${md5iSql("'t|' || media_ref")} % 3
+         |    WHEN 0 THEN ${MediaOps.MediaHeaders.JpegLen}
+         |    WHEN 1 THEN ${MediaOps.MediaHeaders.PngLen}
+         |    ELSE ${MediaOps.MediaHeaders.GifLen} END)::BIGINT AS n_bytes
          |FROM refs""".stripMargin,
 
     "mm_frames" ->

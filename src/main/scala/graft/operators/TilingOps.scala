@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dynamic tiling + vision-token grid accounting — the Spark
@@ -79,15 +78,16 @@ object TilingOps {
       (l * cropH) * (l * cropW + 1)
     }
 
-  /** Per-media tiling plan + token accounting. Dims derive from the
-    * media_ref hash (same stub rule as [[MediaOps.MediaKernel.decode]]);
-    * a real pipeline feeds decoded dims in. Narrow kernel, no shuffle.
+  /** Per-media tiling plan + token accounting. Dims come from the REAL
+    * header parse ([[MediaOps.MediaKernel.decode]]) over the item's
+    * content bytes — the decode → tile chain the reference runs
+    * (cli/app.rs:95-101 → preprocess.rs:13-49). Narrow kernel, no shuffle.
     */
   def tilingPlan(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     MediaOps.mediaItems(spark, docs).map { item =>
-      val w = Hashing.md5i(s"w|${item.media_ref}") % 1920L + 1L
-      val h = Hashing.md5i(s"h|${item.media_ref}") % 1080L + 1L
+      val meta = MediaOps.MediaKernel.decode(item)
+      val (w, h) = (meta.width, meta.height)
       val (rw, rh) = bestRatio(w, h)
       val tg = tokensGlobal().toLong
       val tl = tokensLocal(rw, rh).toLong

@@ -12,25 +12,26 @@ class BinarySourceSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSuite.spark
 
-  test("binaryFile scan reads media payloads and joins the decode stub") {
+  test("binaryFile round-trip: files written, scanned, headers decoded") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bin")
     val docs = Seq((2L, "x"), (4L, "y")).toDF("doc_id", "text")
     val items = MediaOps.mediaItems(spark, docs).collect()
-    items.foreach { it =>
-      Files.write(dir.resolve(it.media_ref.replaceAll("[:/]+", "_") + ".bin"),
-        it.content)
+    val meta = MediaOps.binaryFileRoundTrip(spark, docs, dir.toString).collect()
+    assert(meta.length == items.length)
+    assert(meta.map(_.media_ref).toSet == items.map(_.media_ref).toSet)
+    // decoded-through-the-file-scan must equal decoded-in-memory
+    val direct = MediaOps.decodeMeta(spark, docs).collect()
+      .map(m => m.media_ref -> m).toMap
+    meta.foreach { m =>
+      assert(m == direct(m.media_ref))
+      assert(m.width > 0 && m.height > 0 && m.format != "unknown")
     }
-    val scanned = spark.read.format("binaryFile")
-      .load(dir.toString)
-      .select($"path", $"length", $"content")
-      .as[(String, Long, Array[Byte])].collect()
-    assert(scanned.length == items.length)
-    assert(scanned.forall(_._2 == 16L))
-    val byBytes = items.map(i => i.content.toSeq -> i.media_ref).toMap
-    // every scanned payload maps back to exactly one media item
-    assert(scanned.flatMap(s => byBytes.get(s._3.toSeq)).toSet ==
-      items.map(_.media_ref).toSet)
-    scanned.foreach(s => Files.deleteIfExists(Paths.get(new java.net.URI(s._1))))
+    // filename mapping is a clean inverse
+    items.foreach { it =>
+      assert(MediaOps.refOfFileName(MediaOps.fileName(it)) == it.media_ref)
+      Files.deleteIfExists(dir.resolve(MediaOps.fileName(it)))
+    }
+    val _ = Paths.get(dir.toString) // keep import used
   }
 }

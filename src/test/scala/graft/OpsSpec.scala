@@ -153,20 +153,53 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L) == expect)
   }
 
-  test("media plumbing: refs derived, 16-byte payload, frames stride 10") {
+  test("media decode: real header synthesis parses back exactly") {
     import spark.implicits._
     val docs = Seq((2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
     val items = MediaOps.mediaItems(spark, docs).collect()
     assert(items.map(_.media_ref).toSet ==
       Set("img://2/0", "img://4/0", "img://4/1"))
-    assert(items.forall(_.content.length == 16))
     val meta = MediaOps.decodeMeta(spark, docs).collect()
-    assert(meta.forall(m => m.width >= 1 && m.width <= 1920 &&
-      m.height >= 1 && m.height <= 1080 && m.n_bytes == 16 &&
-      Set("jpeg", "png", "webp").contains(m.format)))
+    meta.foreach { m =>
+      // dims parsed from the bytes must equal the derivation rule
+      assert(m.width == Hashing.md5i(s"w|${m.media_ref}") % 1920L + 1L)
+      assert(m.height == Hashing.md5i(s"h|${m.media_ref}") % 1080L + 1L)
+      val expectFmt = (Hashing.md5i(s"t|${m.media_ref}") % 3L) match {
+        case 0L => "jpeg"; case 1L => "png"; case _ => "gif"
+      }
+      assert(m.format == expectFmt)
+      val expectLen = expectFmt match {
+        case "jpeg" => MediaOps.MediaHeaders.JpegLen
+        case "png"  => MediaOps.MediaHeaders.PngLen
+        case _      => MediaOps.MediaHeaders.GifLen
+      }
+      assert(m.n_bytes == expectLen)
+    }
     val frames = MediaOps.frameSample(spark, docs)
       .as[(String, Long)].collect()
     assert(frames.forall(_._2 % 10 == 0))
     assert(frames.groupBy(_._1).keySet == items.map(_.media_ref).toSet)
+  }
+
+  test("media decode kernel: each container parsed from raw bytes; corrupt safe") {
+    import MediaOps.{MediaHeaders, MediaItem, MediaKernel}
+    val p = MediaKernel.decode(MediaItem(1L, "r", MediaHeaders.png(1920, 1080)))
+    assert((p.width, p.height, p.format) == (1920L, 1080L, "png"))
+    val j = MediaKernel.decode(MediaItem(1L, "r", MediaHeaders.jpeg(640, 480)))
+    assert((j.width, j.height, j.format) == (640L, 480L, "jpeg"))
+    val g = MediaKernel.decode(MediaItem(1L, "r", MediaHeaders.gif(320, 200)))
+    assert((g.width, g.height, g.format) == (320L, 200L, "gif"))
+    // JPEG parse must WALK markers, not assume fixed offsets: prepend an
+    // extra APP1 segment before the SOF0
+    val extra = Array(0xff, 0xe1, 0x00, 0x04, 0x41, 0x42).map(_.toByte)
+    val jb = MediaHeaders.jpeg(99, 77)
+    val shifted = jb.take(2) ++ extra ++ jb.drop(2)
+    val js = MediaKernel.decode(MediaItem(1L, "r", shifted))
+    assert((js.width, js.height, js.format) == (99L, 77L, "jpeg"))
+    // corrupt / truncated bytes never throw
+    val u = MediaKernel.decode(MediaItem(1L, "r", Array[Byte](1, 2, 3)))
+    assert(u.format == "unknown" && u.width == 0L)
+    val t = MediaKernel.decode(MediaItem(1L, "r", MediaHeaders.jpeg(9, 9).take(6)))
+    assert(t.format != "png" && t.height == 0L)
   }
 }
