@@ -312,6 +312,28 @@ object SparkEntry {
     "tok_stream" -> ((s, dir) => graft.operators.TokenOps.tokenAccounting(s, dir)),
     "moe_route" -> ((s, dir) =>
       graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
+
+    // ---- chat-history collapse (P8+T5) + template render (§2.10) ----
+    "msg_collapse" -> ((s, dir) =>
+      graft.conversation.Collapse.collapseQuery(s, dir)),
+
+    "conv_render" -> ((s, dir) => {
+      import s.implicits._
+      val tmpl = graft.conversation.Templates.deepseekTemplate
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          def w(i: Int) = if (i < ws.length) ws(i) else ""
+          val t = tmpl.withSystemMessage(s"doc ${w(0)}")
+          val msgs = Seq(
+            (t.roles._1, Some(s"q ${w(3)}")),
+            (t.roles._2, Some(s"a ${w(1)}")),
+            (t.roles._1, Some("and now?")),
+            (t.roles._2, Option.empty[String]))
+          (id, t.prompt(msgs))
+        }.toDF("conv_id", "prompt")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -835,6 +857,43 @@ object SparkEntry {
         |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
         |      FROM documents)""".stripMargin,
+
+    // collapse semantics (see graft.conversation.Collapse scaladoc): kept
+    // sections are [system "sys w0"; system w2 (reverse-flattened with its
+    // image on even ids); last user turn "q w3" (image on %3=0)]; earlier
+    // user turn, assistant turn, empty system, and post-user system are
+    // all dropped; images collected only from kept messages.
+    "msg_collapse" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    'sys ' || ws[1] AS s1,
+        |    CASE WHEN doc_id % 2 = 0 THEN '<image>' || chr(10) || ws[3]
+        |         ELSE ws[3] END AS s2,
+        |    CASE WHEN doc_id % 3 = 0 THEN '<image>' || chr(10) || 'q ' || ws[4]
+        |         ELSE 'q ' || ws[4] END AS s3
+        |  FROM w)
+        |SELECT doc_id AS conv_id,
+        |  '<|User|>' || chr(10) || s1 || chr(10) || chr(10) || s2
+        |    || chr(10) || chr(10) || s3 || chr(10) || '<|Assistant|>' || chr(10)
+        |    AS prompt,
+        |  3::BIGINT AS n_sections,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_images
+        |FROM s""".stripMargin,
+
+    // deepseek render: system "{system_message}" + sep, then
+    // role: content + sep[idx%2] (sep2 = EOS sentinel), bare "role:" for
+    // the trailing None cue (conversation/mod.rs:63-88)
+    "conv_render" ->
+      """SELECT doc_id AS conv_id,
+        |  'doc ' || ws[1] || chr(10) || chr(10)
+        |    || '<|User|>: q ' || ws[4] || chr(10) || chr(10)
+        |    || '<|Assistant|>: a ' || ws[2] || '<｜end▁of▁sentence｜>'
+        |    || '<|User|>: and now?' || chr(10) || chr(10)
+        |    || '<|Assistant|>:' AS prompt
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
 
     "moe_route" ->
       """WITH q AS (
