@@ -313,6 +313,68 @@ object SparkEntry {
     "moe_route" -> ((s, dir) =>
       graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
 
+    // ---- driver verification of the spec-only components: greedy
+    //      decoder (A3/T4/ST1), window partition (W2), layered config (J4) ----
+    // Per-doc greedy decode over a deterministic per-position score table
+    // (vocab 16, eos=0, budget 8): exercises argmax tie-breaking, the EOS
+    // early stop (EOS never emitted), and the token budget at corpus
+    // scale. Scores depend on (doc, position) only, so the DuckDB oracle
+    // replays the loop in closed form.
+    "dec_greedy" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val res = graft.extract.Decoder.decodeGreedy(
+            Seq.empty, eos = 0L, maxNewTokens = 8) { seq =>
+            val pos = seq.length
+            (0 until 16).map(t =>
+              (t.toLong, graft.functions.Hashing.md5i(s"dec|$id|$pos|$t").toDouble))
+          }()
+          (id, res.generated.length.toLong,
+            if (res.stoppedByEos) 1L else 0L,
+            res.steps.toLong, res.generated.sum)
+        }.toDF("doc_id", "n_gen", "stopped", "steps", "gen_sum")
+    }),
+
+    // Window partition/unpartition invariants over each doc's token
+    // stream (pad to multiples of 14, block, exact inverse).
+    "wp_windows" -> ((s, dir) => {
+      import s.implicits._
+      graft.corpus.CorpusDerive.derive(s, dir).map { doc =>
+        val ts = graft.operators.TokenOps.buildTokenStream(doc)
+        val ids = ts.ids.toSeq
+        val (blocks, n) =
+          graft.operators.WindowPartition.partition(ids)(pad = -2L)
+        val ok = graft.operators.WindowPartition.unpartition(blocks, n) == ids
+        (doc.doc_id, n.toLong, blocks.length.toLong,
+          (blocks.length.toLong * graft.operators.WindowPartition.DefaultWindow - n),
+          if (ok) 1L else 0L)
+      }.toDF("doc_id", "n_tokens", "n_blocks", "pad_len", "roundtrip_ok")
+    }),
+
+    // Layered config resolution table: per doc, an override layer (present
+    // on even ids), a file layer (ids % 3 == 0), and defaults — emitted as
+    // (key, value, winning layer) rows.
+    "conf_resolve" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].flatMap { id =>
+          val overrides =
+            if (id % 2 == 0) Map("quality.min_words" -> (id % 5).toString)
+            else Map.empty[String, String]
+          val file =
+            if (id % 3 == 0) Map("quality.min_words" -> s"f${id % 7}",
+                                 "tiling.max" -> "9")
+            else Map.empty[String, String]
+          val defaults = Map("quality.min_words" -> "50",
+            "tiling.max" -> "6", "lang.allow" -> "en")
+          graft.functions.LayeredConfig.resolveWithProvenance(
+              "override" -> overrides, "file" -> file, "default" -> defaults)
+            .toSeq.sortBy(_._1)
+            .map { case (k, (v, layer)) => (id, k, v, layer) }
+        }.toDF("doc_id", "key", "value", "layer")
+    }),
+
     // ---- chat-history collapse (P8+T5) + template render (§2.10) ----
     "msg_collapse" -> ((s, dir) =>
       graft.conversation.Collapse.collapseQuery(s, dir)),
@@ -857,6 +919,58 @@ object SparkEntry {
         |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
         |      FROM documents)""".stripMargin,
+
+    // greedy decode replay: g(doc,j) = argmax_t md5i("dec|doc|j|t");
+    // first j with g=0 is the EOS step (token not emitted)
+    "dec_greedy" ->
+      s"""WITH steps AS (
+         |  SELECT doc_id, j, arg_max(t, h) AS g
+         |  FROM (SELECT doc_id, j, t,
+         |          ${md5iSql("'dec|' || doc_id || '|' || j || '|' || t")} AS h
+         |        FROM documents,
+         |             (SELECT unnest(generate_series(0,7)) AS j),
+         |             (SELECT unnest(generate_series(0,15)) AS t))
+         |  GROUP BY doc_id, j),
+         |eos AS (SELECT doc_id, min(j) AS jeos FROM steps WHERE g = 0 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  coalesce(e.jeos, 8)::BIGINT AS n_gen,
+         |  (CASE WHEN e.jeos IS NULL THEN 0 ELSE 1 END)::BIGINT AS stopped,
+         |  (CASE WHEN e.jeos IS NULL THEN 8 ELSE e.jeos + 1 END)::BIGINT AS steps,
+         |  CAST(sum(CASE WHEN s.j < coalesce(e.jeos, 8) THEN s.g ELSE 0 END) AS BIGINT) AS gen_sum
+         |FROM steps s LEFT JOIN eos e ON s.doc_id = e.doc_id
+         |GROUP BY s.doc_id, e.jeos""".stripMargin,
+
+    // window counts from the tok_stream token formula; pad to ×14
+    "wp_windows" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    (11 + len(string_split(text,' '))
+        |       + CASE WHEN doc_id % 3 = 0 THEN 9 ELSE 0 END
+        |       + 111*(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)) AS nt
+        |  FROM documents)
+        |SELECT printf('d%010d', doc_id) AS doc_id, nt::BIGINT AS n_tokens,
+        |  CAST(ceil(nt / 14.0) AS BIGINT) AS n_blocks,
+        |  (CAST(ceil(nt / 14.0) AS BIGINT) * 14 - nt)::BIGINT AS pad_len,
+        |  1::BIGINT AS roundtrip_ok
+        |FROM n""".stripMargin,
+
+    "conf_resolve" ->
+      """SELECT doc_id, 'lang.allow' AS key, 'en' AS value, 'default' AS layer
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'quality.min_words',
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 5 AS VARCHAR)
+        |       WHEN doc_id % 3 = 0 THEN 'f' || (doc_id % 7)
+        |       ELSE '50' END,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'override'
+        |       WHEN doc_id % 3 = 0 THEN 'file' ELSE 'default' END
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'tiling.max',
+        |  CASE WHEN doc_id % 3 = 0 THEN '9' ELSE '6' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'file' ELSE 'default' END
+        |FROM documents""".stripMargin,
 
     // collapse semantics (see graft.conversation.Collapse scaladoc): kept
     // sections are [system "sys w0"; system w2 (reverse-flattened with its

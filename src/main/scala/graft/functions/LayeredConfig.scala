@@ -25,6 +25,18 @@ object LayeredConfig {
       layer ++ acc // acc (earlier layers) wins on conflicts
     })
 
+  /** Resolution with provenance: key → (value, winning layer name) —
+    * the audit surface (which of flag/file/default supplied each value,
+    * mirroring the reference's precedence chain
+    * /root/reference/crates/config/src/config.rs:16-114).
+    */
+  def resolveWithProvenance(
+      layers: (String, Map[String, String])*): Map[String, (String, String)] =
+    layers.foldLeft(Map.empty[String, (String, String)]) {
+      case (acc, (name, layer)) =>
+        layer.map { case (k, v) => k -> (v, name) } ++ acc
+    }
+
   /** Env-var layer: keys with `prefix` become dotted config keys
     * (SPARK_GRAFT_FOO_BAR → foo.bar).
     */
