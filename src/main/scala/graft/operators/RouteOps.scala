@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * kept weights (A6), group rows by chosen expert for batched compute,
   * scatter results back by token id (J3).
   *
-  * Spark shape: posexplode of the score vector (narrow) → per-token
-  * window top-k (shuffle on token id — already the row key, so AQE
-  * coalesces it into the scan partitioning when possible) → groupBy
-  * expert for the batched stage. Weights stay exact rationals
+  * Spark shape: the top-k of an 8-element score vector is a PER-ROW
+  * computation, so it runs entirely in-row with codegen'd array
+  * expressions (transform → sort_array on (-score, idx) structs → slice →
+  * posexplode of k elements) — NO exchange. The previous
+  * explode-then-window formulation paid a full shuffle on vec_id for
+  * what is row-local arithmetic. Weights stay exact rationals
   * (score, Σ top-k scores) instead of floats so the DuckDB oracle
-  * reproduces rows bit-for-bit.
+  * reproduces rows bit-for-bit. The groupBy-expert batched stage
+  * ([[applyPerExpert]]) remains the only shuffle, as in the reference's
+  * gather/scatter.
   */
 object RouteOps {
 
@@ -24,22 +28,25 @@ object RouteOps {
 
   /** Route each embedding row to its top-k of the first `NumExperts`
     * quantized dims: (vec_id, expert_idx, rnk, score, score_topk_sum).
-    * Ties break on expert index ascending (deterministic).
+    * Ties break on expert index ascending (deterministic): sort_array is
+    * ascending lexicographic on struct fields, so (-score, idx) sorts by
+    * score desc then idx asc.
     */
   def routeTopK(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
     val q = SimilarityOps.quantized(emb)
       .select($"vec_id", slice($"q", 1, NumExperts).as("scores"))
-    val exploded = q.select($"vec_id", posexplode($"scores"))
-      .toDF("vec_id", "expert_idx", "score")
-    val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"expert_idx")
-    val top = exploded
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= TopK)
-    top.withColumn("score_topk_sum",
-        sum($"score").over(Window.partitionBy($"vec_id")))
-      .select($"vec_id", $"expert_idx".cast("long").as("expert_idx"),
-        $"rnk", $"score", $"score_topk_sum")
+    val ranked = q.select($"vec_id",
+        slice(sort_array(
+          expr("transform(scores, (s, i) -> struct(-s AS negs, i AS idx))")),
+          1, TopK).as("top"))
+      .withColumn("score_topk_sum",
+        expr("aggregate(top, CAST(0 AS BIGINT), (a, x) -> a - x.negs)"))
+    ranked
+      .select($"vec_id", $"score_topk_sum", posexplode($"top"))
+      .select($"vec_id", $"col.idx".cast("long").as("expert_idx"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        (-$"col.negs").as("score"), $"score_topk_sum")
   }
 
   /** Batched per-expert stage + scatter-back: groups routed rows by

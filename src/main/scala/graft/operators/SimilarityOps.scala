@@ -40,6 +40,15 @@ object SimilarityOps {
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest OTHER vectors. Output (query_id, neighbor_id, rank,
     * dot, na, nb) — rank by (cos desc, neighbor_id) for determinism.
+    *
+    * Scale shape: queries broadcast against one corpus scan (no corpus
+    * shuffle); the top-k runs as a PER-PARTITION bounded heap inside
+    * mapPartitions — each scan task emits at most nQueries×k rows — and
+    * only that tiny candidate set (partitions × nQueries × k) crosses the
+    * wire into the final exact rank. A plain `row_number` window here
+    * would funnel the full N×nQueries pair stream into nQueries reducer
+    * partitions; the heap keeps the reduction distributed (same output:
+    * every partition retains a superset of its global-top-k rows).
     */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame, nQueries: Int,
                      k: Int): DataFrame = {
@@ -52,7 +61,30 @@ object SimilarityOps {
         dot($"qv", $"q").as("dot"), $"na", $"nsq".as("nb"))
       .withColumn("cos",
         $"dot".cast("double") / sqrt($"na".cast("double") * $"nb"))
-    pairs
+    // candidate tuple: (query_id, neighbor_id, dot, na, nb, cos);
+    // priority head = WORST retained candidate (lowest cos, then highest
+    // neighbor id) so a better arrival evicts it in O(log k)
+    val worstFirst: Ordering[(Long, Long, Long, Long, Long, Double)] =
+      Ordering.by((c: (Long, Long, Long, Long, Long, Double)) => (-c._6, c._2))
+    val partial = pairs.as[(Long, Long, Long, Long, Long, Double)]
+      .mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.PriorityQueue[(Long, Long, Long, Long, Long, Double)]]
+      it.foreach { c =>
+        val h = heaps.getOrElseUpdate(c._1, scala.collection.mutable
+          .PriorityQueue.empty[(Long, Long, Long, Long, Long, Double)](worstFirst))
+        if (h.size < k) h.enqueue(c)
+        else {
+          val w = h.head
+          if (c._6 > w._6 || (c._6 == w._6 && c._2 < w._2)) {
+            h.dequeue(); h.enqueue(c)
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("query_id", "neighbor_id", "dot", "na", "nb", "cos")
+    // exact final rank over ≤ partitions × nQueries × k surviving rows
+    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id")
           .orderBy($"cos".desc, $"neighbor_id")).cast("long"))
