@@ -117,6 +117,41 @@ object Bench {
       "pipeline_shuffle_read_mb" -> tally.read.get() / 1048576.0)
   }
 
+  /** Identical-content flood: the dedup skew scenario the MaxBucket cap
+    * exists for. `floodN` copies of one document all land in the same LSH
+    * band buckets; the capped path emits a linear star (floodN-1 pairs),
+    * while the uncapped path is O(floodN²) — so the uncapped comparison
+    * runs at floodN/4 (already ~floodN²/16 pairs) to stay measurable.
+    * Reported: wall seconds + emitted pairs for both.
+    */
+  private def floodTimes(spark: SparkSession): Map[String, Double] = {
+    import spark.implicits._
+    val floodN = sys.env.getOrElse("SPARK_GRAFT_FLOOD", "10000").toInt
+    val text = (1 to 40).map(i => s"flood$i").mkString(" ")
+    def flood(n: Int) = spark.range(n)
+      .select($"id".as("doc_id"), lit(text).as("text"))
+    var cappedPairs = 0L
+    var uncappedPairs = 0L
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cappedSec = time {
+      cappedPairs = graft.operators.DedupOps.minhashPairs(spark, flood(floodN)).count()
+    }
+    val uncN = floodN / 4
+    val uncappedSec = time {
+      uncappedPairs = graft.operators.DedupOps
+        .minhashPairs(spark, flood(uncN), maxBucket = Int.MaxValue).count()
+    }
+    Map(
+      "flood_docs" -> floodN.toDouble,
+      "flood_capped_sec" -> cappedSec,
+      "flood_capped_pairs" -> cappedPairs.toDouble,
+      "flood_uncapped_docs" -> uncN.toDouble,
+      "flood_uncapped_sec" -> uncappedSec,
+      "flood_uncapped_pairs" -> uncappedPairs.toDouble)
+  }
+
   /** Skew scenario: a "hot host" whose pages sit CONSECUTIVE in doc_id
     * space (ids with base % 1000 < 20, i.e. contiguous runs of 2%) gets
     * 30× the spans per doc. The range partitioner balances ROW counts, so
@@ -186,7 +221,7 @@ object Bench {
         // several times and would dominate wall time at N
         if (n == scaleN * 4)
           stages += (s"local$n" -> (stageTimes(s, sfDir, amplify) ++
-            skewTimes(s, sfDir, amplify / 4)))
+            skewTimes(s, sfDir, amplify / 4) ++ floodTimes(s)))
         n -> (docs, spans, sec, docs / sec)
       } finally s.stop()
     }.toMap
@@ -196,20 +231,30 @@ object Bench {
     val efficiency = rate32 / (4.0 * rate8)
 
     // ---- per-query timings on a fresh local[cpus] session ----
+    // failures are RECORDED, never silently timed as success: a query that
+    // dies under the noop write is retried with count() (some sinks reject
+    // specific plans); if that also dies, the error lands in the JSON.
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case _: Throwable =>
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\n\r\\\\]", " "))
+          }
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_errors":$errs,"sf":"$sfDir",""" +
       s""""extraction":{"amplify":$amplify,"docs":$docs32,"spans":$spans32,""" +
       s""""scale_n":$scaleN,""" +
       s""""localN_sec":$sec8,"localN_docs_per_sec":$rate8,""" +

@@ -793,7 +793,7 @@ object SparkEntry {
 
     "sample_stratified" ->
       s"""SELECT source, count(*)::BIGINT AS n_total,
-         |  CAST(sum(CASE WHEN ${md5iSql("'sample|' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |  CAST(sum(CASE WHEN ${md5iSql("'sample|' || source || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 10
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY source""".stripMargin,
 

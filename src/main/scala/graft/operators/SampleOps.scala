@@ -21,18 +21,29 @@ object SampleOps {
   private def gate(salt: String, id: Column): Column =
     Hashing.md5iCol(concat(lit(salt + "|"), id.cast("string"))) % 100L
 
+  /** Stratified gate: the stratum value is folded into the hash salt, so
+    * each stratum draws an INDEPENDENT deterministic sample (two strata
+    * never share gate values through a common doc_id stream).
+    */
+  private def stratGate(salt: String, stratum: Column, id: Column): Column =
+    Hashing.md5iCol(concat(lit(salt + "|"), stratum.cast("string"),
+      lit("|"), id.cast("string"))) % 100L
+
   /** Per-stratum deterministic Bernoulli sample at `pct` percent. */
   def stratifiedSample(docs: DataFrame, stratum: String, pct: Int): DataFrame =
-    docs.filter(gate("sample", col("doc_id")) < pct)
+    docs.filter(stratGate("sample", col(stratum), col("doc_id")) < pct)
 
   /** Stratum-level accounting: totals, sampled counts. */
   def sampleStats(docs: DataFrame, stratum: String, pct: Int): DataFrame =
     docs.groupBy(col(stratum))
       .agg(count(lit(1)).as("n_total"),
-        sum(when(gate("sample", col("doc_id")) < pct, 1L).otherwise(0L))
-          .as("n_sampled"))
+        sum(when(stratGate("sample", col(stratum), col("doc_id")) < pct, 1L)
+          .otherwise(0L)).as("n_sampled"))
 
-  /** Stable 80/10/10 split assignment (pure function of doc_id). */
+  /** Stable 80/10/10 split assignment — a pure function of doc_id ONLY
+    * (deliberately un-stratified: a document must land in the same split
+    * regardless of which stratum view examines it, or train/test leak).
+    */
   def splitColumn(id: Column): Column = {
     val g = gate("split", id)
     when(g < 80L, "train").when(g < 90L, "val").otherwise("test")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Iceberg-semantics substitute (BASELINE.md note: no Iceberg runtime jar
   * ships offline): an explicit per-bucket lineage-manifest + atomic
@@ -12,19 +13,34 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `outDir`:
   *   data/bucket=<i>/ (parquet)     — extracted rows, one dir per bucket
-  *   manifests/bucket-<i>.json      — lineage: counts, bytes, checksum,
+  *   manifests/bucket-<i>.json      — lineage: the bucket's DATA FILE LIST,
+  *                                    counts, bytes, checksum, snapshot id,
   *                                    wall ms (atomic tmp+rename = commit)
   *   _SUCCESS.json                  — job-level marker (idempotent finalize,
   *                                    analog of the reference's SSE
   *                                    `finalize` idempotency —
   *                                    /root/reference/crates/server/src/stream.rs:287-355)
   *
+  * Iceberg-fidelity properties:
+  *  - MANIFEST-LISTED READS: readers consume exactly the parquet files
+  *    named in committed manifests — a bucket directory containing data
+  *    but no manifest (a run that died between data write and commit), or
+  *    stray files from a dead task attempt, are invisible. No directory
+  *    listing governs visibility.
+  *  - SNAPSHOT TIME TRAVEL: every manifest carries the snapshot id of the
+  *    run that committed it; `readCommitted(asOfSnapshot = s)` reads the
+  *    table as of snapshot s. Snapshot ids are monotonic (+1 per
+  *    writeResumable run), mirroring the reference's `seq_len decreased`
+  *    cache guard (/root/reference/crates/core/src/transformer/cache.rs:204-258).
+  *  - SCHEMA VERSIONING: manifests embed `schema_version`; readers REJECT
+  *    manifests written by a NEWER schema than they understand
+  *    (forward-incompatibility fails loudly, the Iceberg
+  *    format-version discipline) and accept older ones.
+  *
   * Resume = anti-filter of input buckets against committed manifests; the
   * write uses dynamic partition overwrite so a bucket interrupted between
   * data-append and manifest-commit is rewritten whole on the next run
-  * (partial files never double-count). Monotonic-commit discipline mirrors
-  * the reference's KV-cache `seq_len decreased` guard
-  * (/root/reference/crates/core/src/transformer/cache.rs:204-258).
+  * (partial files never double-count).
   *
   * Local FS here; at cluster scale the same protocol runs over any Hadoop
   * FileSystem with atomic rename (HDFS) — the seam is this object.
@@ -32,13 +48,13 @@ import scala.jdk.CollectionConverters._
 object TableIO {
 
   final case class BucketManifest(bucket: Int, doc_count: Long,
-      span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long)
+      span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long,
+      files: Seq[String])
 
   val SchemaVersion = 1
 
   /** Monotonic snapshot id (Iceberg-snapshot analog): 0 before any
-    * commit, +1 per successful writeResumable run. The monotonic guard
-    * mirrors the reference's `seq_len decreased` cache invariant.
+    * commit, +1 per successful writeResumable run.
     */
   def currentSnapshot(outDir: String): Long = {
     val p = Paths.get(outDir, "_SUCCESS.json")
@@ -53,15 +69,21 @@ object TableIO {
   private def manifestPath(outDir: String, bucket: Int): Path =
     manifestDir(outDir).resolve(s"bucket-$bucket.json")
 
-  def committedBuckets(outDir: String): Set[Int] = {
-    val dir = manifestDir(outDir)
-    if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-        s.stripPrefix("bucket-").stripSuffix(".json").toInt }
-      .toSet
-  }
+  /** Names in `dir` matching prefix/suffix — stream closed promptly
+    * (Files.list leaks an fd per call otherwise).
+    */
+  private def listNames(dir: Path, prefix: String, suffix: String): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+        .toSeq
+    }
+
+  def committedBuckets(outDir: String): Set[Int] =
+    listNames(manifestDir(outDir), "bucket-", ".json")
+      .map(_.stripPrefix("bucket-").stripSuffix(".json").toInt).toSet
 
   private def writeAtomic(path: Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
@@ -73,7 +95,35 @@ object TableIO {
   private def manifestJson(m: BucketManifest, snapshot: Long): String =
     s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
     s""""bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
-    s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum}}"""
+    s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum},""" +
+    m.files.map(f => s""""$f"""").mkString("\"files\":[", ",", "]}")
+
+  /** Parsed committed manifest: (bucket, snapshot, schema_version,
+    * data-file relative paths).
+    */
+  final case class CommittedManifest(bucket: Int, snapshot: Long,
+      schemaVersion: Int, files: Seq[String])
+
+  private val SnapRe = "\"snapshot\":(\\d+)".r
+  private val VerRe = "\"schema_version\":(\\d+)".r
+  private val FilesRe = "\"files\":\\[([^\\]]*)\\]".r
+
+  def committedManifests(outDir: String): Seq[CommittedManifest] =
+    listNames(manifestDir(outDir), "bucket-", ".json").sorted.map { name =>
+      val bucket = name.stripPrefix("bucket-").stripSuffix(".json").toInt
+      val s = Files.readString(manifestDir(outDir).resolve(name))
+      val snap = SnapRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      val ver = VerRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1)
+      val files = FilesRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        .split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+      CommittedManifest(bucket, snap, ver, files)
+    }
+
+  /** Data files of one just-written bucket, as outDir/data-relative paths. */
+  private def bucketFiles(outDir: String, bucket: Int): Seq[String] =
+    listNames(Paths.get(outDir, "data", s"bucket=$bucket"), "", ".parquet")
+      .sorted.map(n => s"bucket=$bucket/$n")
 
   /** Resumable bucketed write. Returns the number of buckets written this
     * run (0 on a fully-committed rerun — idempotent no-op).
@@ -113,7 +163,8 @@ object TableIO {
     val snapshot = currentSnapshot(outDir) + 1
     stats.foreach { case (b, dc, sc, by, ck) =>
       writeAtomic(manifestPath(outDir, b),
-        manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck), snapshot))
+        manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck,
+          bucketFiles(outDir, b)), snapshot))
     }
     writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
       s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
@@ -154,35 +205,49 @@ object TableIO {
     true
   }
 
-  def committedBatches(outDir: String): Set[Long] = {
-    val dir = manifestDir(outDir)
-    if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("batch-") && s.endsWith(".json") =>
-        s.stripPrefix("batch-").stripSuffix(".json").toLong }
-      .toSet
+  def committedBatches(outDir: String): Set[Long] =
+    listNames(manifestDir(outDir), "batch-", ".json")
+      .map(_.stripPrefix("batch-").stripSuffix(".json").toLong).toSet
+
+  private def emptyRows(spark: SparkSession): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    spark.emptyDataset[ExtractedRow]
   }
 
-  /** Read rows of manifest-committed micro-batches only. */
+  /** Read rows of manifest-committed micro-batches only; empty Dataset
+    * (with the proper schema) before any batch commits.
+    */
   def readCommittedBatches(spark: SparkSession, outDir: String): Dataset[ExtractedRow] = {
     import spark.implicits._
     val done = committedBatches(outDir)
+    if (done.isEmpty) return emptyRows(spark)
     spark.read.option("basePath", s"$outDir/data")
-      .parquet(done.toSeq.map(b => s"$outDir/data/batch=$b"): _*)
+      .parquet(done.toSeq.sorted.map(b => s"$outDir/data/batch=$b"): _*)
       .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
               $"span_count", $"bytes", $"checksum")
       .as[ExtractedRow]
   }
 
-  /** Read back only manifest-committed buckets (manifest-listed reads —
-    * partial, uncommitted bucket dirs are invisible to readers).
+  /** Read back only manifest-committed data, as of `asOfSnapshot`
+    * (default: latest). The reader consumes the manifests' FILE LISTS —
+    * uncommitted bucket dirs, partial writes, and buckets committed after
+    * the requested snapshot are all invisible. Fails loudly on manifests
+    * written by a newer schema version.
     */
-  def readCommitted(spark: SparkSession, outDir: String): Dataset[ExtractedRow] = {
+  def readCommitted(spark: SparkSession, outDir: String,
+                    asOfSnapshot: Long = Long.MaxValue): Dataset[ExtractedRow] = {
     import spark.implicits._
-    val done = committedBuckets(outDir)
-    val df = spark.read.parquet(s"$outDir/data")
-    df.filter($"bucket".isin(done.toSeq: _*))
+    val manifests = committedManifests(outDir)
+    manifests.filter(_.schemaVersion > SchemaVersion).foreach { m =>
+      throw new IllegalStateException(
+        s"bucket ${m.bucket} manifest has schema_version ${m.schemaVersion} " +
+        s"> reader's $SchemaVersion — upgrade the reader")
+    }
+    val files = manifests.filter(_.snapshot <= asOfSnapshot)
+      .flatMap(_.files).map(f => s"$outDir/data/$f")
+    if (files.isEmpty) return emptyRows(spark)
+    spark.read.option("basePath", s"$outDir/data")
+      .parquet(files: _*)
       .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
               $"span_count", $"bytes", $"checksum")
       .as[ExtractedRow]

@@ -68,6 +68,61 @@ class ResumeSpec extends AnyFunSuite {
     assert(m.contains("\"schema_version\":1") && m.contains("\"snapshot\":1"))
   }
 
+  test("reads are manifest-file-listed: stray files + uncommitted buckets invisible") {
+    val out = tmpDir()
+    TableIO.writeResumable(rows, out)
+    val before = readAll(out)
+    // a stray parquet from a dead task attempt inside a COMMITTED bucket
+    // dir must be invisible (it is not in the manifest's file list) ...
+    val strayDir = Path.of(out, "data", "bucket=0")
+    val real = Files.list(strayDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(real, strayDir.resolve("part-stray-attempt.c000.parquet"))
+    // ... as must a whole data dir whose manifest was never committed
+    Files.delete(Path.of(out, "manifests", "bucket-3.json"))
+    val after = readAll(out)
+    assert(after == before.filterNot { case (id, _, _) =>
+      Extraction.bucketOf(id, Buckets) == 3 })
+    assert(after.nonEmpty && after.size < before.size)
+  }
+
+  test("snapshot time travel: asOfSnapshot reads the table as of that commit") {
+    val out = tmpDir()
+    // snapshot 1: only buckets 0-2 committed (simulate by filtering input)
+    import spark.implicits._
+    val firstRows = rows.filter(r => r.bucket < 3)
+    TableIO.writeResumable(firstRows, out)
+    val snap1 = TableIO.currentSnapshot(out)
+    val atSnap1 = readAll(out)
+    // snapshot 2: the rest
+    TableIO.writeResumable(rows, out)
+    assert(TableIO.currentSnapshot(out) == snap1 + 1)
+    val latest = readAll(out)
+    assert(latest.size > atSnap1.size)
+    val travel = TableIO.readCommitted(spark, out, asOfSnapshot = snap1)
+      .collect().sortBy(_.doc_id).map(r => (r.doc_id, r.spans, r.markdown)).toSeq
+    assert(travel == atSnap1)
+    // as of snapshot 0: empty table, correct schema
+    assert(TableIO.readCommitted(spark, out, asOfSnapshot = 0L).count() == 0L)
+  }
+
+  test("reader rejects manifests from a newer schema version") {
+    val out = tmpDir()
+    TableIO.writeResumable(rows, out)
+    val m = Path.of(out, "manifests", "bucket-1.json")
+    Files.writeString(m,
+      Files.readString(m).replace("\"schema_version\":1", "\"schema_version\":99"))
+    val e = intercept[IllegalStateException](readAll(out))
+    assert(e.getMessage.contains("schema_version 99"))
+  }
+
+  test("empty table reads: no manifests -> empty Dataset with schema, not a crash") {
+    val out = tmpDir()
+    assert(TableIO.readCommitted(spark, out).count() == 0L)
+    assert(TableIO.readCommittedBatches(spark, out).count() == 0L)
+    assert(TableIO.readCommitted(spark, out).schema.fieldNames.contains("doc_id"))
+  }
+
   test("manifest stats: doc/span counts and checksum match recomputation") {
     import spark.implicits._
     val out = tmpDir()

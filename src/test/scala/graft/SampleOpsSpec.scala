@@ -24,6 +24,11 @@ class SampleOpsSpec extends AnyFunSuite {
     val big = SampleOps.stratifiedSample(docs, "source", 50)
       .select("doc_id").as[Long].collect().toSet
     assert(a.subsetOf(big))
+    // the stratum is part of the gate: stratifying by a different column
+    // draws a different (still deterministic) sample
+    val byLang = SampleOps.stratifiedSample(docs, "lang", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byLang != a)
   }
 
   test("splits are disjoint, complete, stable, and ~80/10/10") {
