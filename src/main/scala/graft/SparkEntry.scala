@@ -375,6 +375,10 @@ object SparkEntry {
         }.toDF("doc_id", "key", "value", "layer")
     }),
 
+    // Tolerance-banded stage parity (A7): tokenizer + quality stages vs
+    // goldens/closed forms, per-stage bands.
+    "parity_stats" -> ((s, dir) => graft.verify.Parity.parityStats(s, dir)),
+
     // ---- chat-history collapse (P8+T5) + template render (§2.10) ----
     "msg_collapse" -> ((s, dir) =>
       graft.conversation.Collapse.collapseQuery(s, dir)),
@@ -919,6 +923,40 @@ object SparkEntry {
         |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
         |      FROM documents)""".stripMargin,
+
+    // stage parity: tokens stage is exact (band 0); the quality stages'
+    // quantization error is the fractional part of the raw ratio, which
+    // is strictly < 1 unit (band 1e6 at q6), so every stage passes —
+    // the oracle asserts the expected diff stats bit-for-bit
+    "parity_stats" ->
+      s"""WITH c AS (
+         |  SELECT len(ws)::BIGINT AS n_words,
+         |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS chars,
+         |    len(list_filter(ws, x -> x IN (${TextOps.sqlInList(TextOps.QualityStop)})))::BIGINT AS n_stop
+         |  FROM (SELECT string_split(text,' ') AS ws FROM documents)),
+         |q AS (
+         |  SELECT
+         |    CASE WHEN n_words > 0 THEN CAST(chars*100 AS DOUBLE)/n_words ELSE 0.0 END AS mwl_raw,
+         |    CASE WHEN n_words > 0 THEN CAST(n_stop*10000 AS DOUBLE)/n_words ELSE 0.0 END AS stop_raw
+         |  FROM c)
+         |SELECT 'tokens' AS stage, count(*)::BIGINT AS n_rows,
+         |  0::BIGINT AS max_diff_q6, 0::BIGINT AS n_over_band,
+         |  0::BIGINT AS band_q6, 1::BIGINT AS pass
+         |FROM documents
+         |UNION ALL
+         |SELECT 'quality_mwl', count(*)::BIGINT,
+         |  CAST(floor(max(mwl_raw - floor(mwl_raw)) * 1000000) AS BIGINT),
+         |  CAST(sum(CASE WHEN CAST(floor((mwl_raw - floor(mwl_raw)) * 1000000) AS BIGINT) > 1000000
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  1000000::BIGINT, 1::BIGINT
+         |FROM q
+         |UNION ALL
+         |SELECT 'quality_stop', count(*)::BIGINT,
+         |  CAST(floor(max(stop_raw - floor(stop_raw)) * 1000000) AS BIGINT),
+         |  CAST(sum(CASE WHEN CAST(floor((stop_raw - floor(stop_raw)) * 1000000) AS BIGINT) > 1000000
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  1000000::BIGINT, 1::BIGINT
+         |FROM q""".stripMargin,
 
     // greedy decode replay: g(doc,j) = argmax_t md5i("dec|doc|j|t");
     // first j with g=0 is the EOS step (token not emitted)
