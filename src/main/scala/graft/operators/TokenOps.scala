@@ -73,6 +73,36 @@ object TokenOps {
     out
   }
 
+  /** P6: token-id validity filter — the reference keeps only ids
+    * convertible to u32 before decoding them back to text
+    * (/root/reference/crates/cli/src/app.rs:155-158,190-194; ids outside
+    * u32 are silently dropped, never an error).
+    */
+  val MaxU32 = 4294967296L
+  def validTokenFilter(ids: Array[Long]): Array[Long] =
+    ids.filter(id => id >= 0L && id < MaxU32)
+
+  /** Driver query for P6: token stream per doc (one text span + its
+    * media slots), validity-filtered. Word-hash ids are 60-bit, so valid
+    * u32 ids are the ~2^-28 tail; placeholder ids (-1) are always
+    * dropped. Output (doc_id, n_ids, n_valid_u32, n_dropped).
+    */
+  def tokenValidity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val slots = (if (id % 2 == 0) 1 else 0) + (if (id % 4 == 0) 1 else 0)
+        val spans = graft.schema.Span("text", text, "", 0) +:
+          (0 until slots).map(i =>
+            graft.schema.Span("media", "", s"img://$id/$i", 1 + i))
+        val ts = buildTokenStream(Doc(graft.corpus.CorpusDerive.docIdStr(id), spans))
+        val valid = validTokenFilter(ts.ids)
+        (id, ts.ids.length.toLong, valid.length.toLong,
+          (ts.ids.length - valid.length).toLong)
+      }.toDF("doc_id", "n_ids", "n_valid_u32", "n_dropped")
+  }
+
   /** Per-doc token accounting over the derived corpus — the A2 invariant
     * surface (mask ones == vision_token_total, inference.rs:163-172).
     */

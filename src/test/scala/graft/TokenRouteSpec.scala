@@ -31,6 +31,17 @@ class TokenRouteSpec extends AnyFunSuite {
     assert(!ts.mask(0) && !ts.mask(1) && ts.mask(2) && !ts.mask.last)
   }
 
+  test("validTokenFilter (P6): keeps [0, 2^32) only, drops placeholders") {
+    val ids = Array(-1L, 0L, 42L, TokenOps.MaxU32 - 1, TokenOps.MaxU32,
+      1L << 59)
+    assert(TokenOps.validTokenFilter(ids).toSeq ==
+      Seq(0L, 42L, TokenOps.MaxU32 - 1))
+    // placeholder blocks from a real stream are dropped wholesale
+    val d = doc(Span("media", "", "img://1/0", 0))
+    val ts = TokenOps.buildTokenStream(d)
+    assert(TokenOps.validTokenFilter(ts.ids).isEmpty)
+  }
+
   test("injectAtMask: exact scatter, arity errors (mod.rs:1259-1266 contract)") {
     val ids = Array(1L, -1L, 2L, -1L)
     val mask = Array(false, true, false, true)
