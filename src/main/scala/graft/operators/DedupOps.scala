@@ -120,13 +120,18 @@ object DedupOps {
     import bands.sparkSession.implicits._
     val sizes = bands.groupBy($"bk")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("rep"))
-    val small = bands.join(sizes.filter($"n" <= maxBucket).select("bk"), "bk")
+    // over-cap buckets are FEW by construction (each needs > maxBucket
+    // members), so join against that small side: anti-join to carve out
+    // the well-behaved buckets, equi-join to expand the stars — both
+    // broadcastable under AQE, never a join against the large bucket set
+    val big = sizes.filter($"n" > maxBucket)
+    val small = bands.join(big.select("bk"), Seq("bk"), "left_anti")
     val smallPairs = small.as("x").join(small.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
     // rep = bucket min, so rep < doc_id holds for every emitted star pair
     val starPairs = bands
-      .join(sizes.filter($"n" > maxBucket).select($"bk", $"rep"), "bk")
+      .join(big.select($"bk", $"rep"), "bk")
       .filter($"doc_id" =!= $"rep")
       .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
     smallPairs.union(starPairs).distinct()
@@ -174,9 +179,12 @@ object DedupOps {
       .toDF("doc_id", "source", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
-    val dfCounts = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
-    val kept = inv.join(dfCounts.filter($"df" <= maxDf).select("source", "s"),
-      Seq("source", "s"))
+    // viral shingles are FEW by construction (each needs > maxDf docs),
+    // so prune with a broadcastable anti-join against that small side
+    // rather than an equi-join against the full distinct-shingle set
+    val viral = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select("source", "s")
+    val kept = inv.join(viral, Seq("source", "s"), "left_anti")
     val cand = kept.as("a").join(kept.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" &&
           $"a.doc_id" < $"b.doc_id")
