@@ -170,6 +170,14 @@ object SparkEntry {
     "ev_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingExtract.eventWindowAgg(t(s, dir, "events"))),
 
+    // REAL Structured Streaming executions (Trigger.AvailableNow over
+    // time-ordered micro-batches) — the streaming engine itself is under
+    // the driver's oracle gate, not just its batch mirror:
+    "ev_stream_window" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamWindowQuery(s, t(s, dir, "events"))),
+    "ev_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamSessionsQuery(s, t(s, dir, "events"))),
+
     "ev_json" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -576,6 +584,25 @@ object SparkEntry {
         |  count(*)::BIGINT AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+
+    // streaming executions converge to the exact batch answers
+    "ev_stream_window" ->
+      """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+
+    "ev_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1, 0) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |       count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "ev_json" ->
       """SELECT event_type,

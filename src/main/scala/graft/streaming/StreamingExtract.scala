@@ -75,6 +75,89 @@ object StreamingExtract {
       .start()
   }
 
+  /** Stage the events table as `nFiles` time-ranged parquet files with
+    * strictly increasing modification times, so a file stream consumes
+    * them as in-order micro-batches (FileStreamSource orders by mtime).
+    * Driver-query plumbing — the measured pipelines never do this.
+    */
+  def stageTimeOrderedFiles(spark: SparkSession, events: DataFrame,
+                            orderCols: Seq[String], nFiles: Int): String = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val total = events.count()
+    val bucketed = events.withColumn("__b",
+      ((row_number().over(w) - 1) * nFiles / total).cast("int"))
+    (0 until nFiles).foreach { i =>
+      val part = java.nio.file.Files.createTempDirectory("graft-stream-part")
+      bucketed.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part).iterator()
+      var moved = false
+      while (src.hasNext) {
+        val p = src.next()
+        if (p.toString.endsWith(".parquet")) {
+          val dst = dir.resolve(f"batch-$i%03d.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+          moved = true
+        }
+      }
+      require(moved, s"no parquet part produced for stream bucket $i")
+    }
+    dir.toString
+  }
+
+  /** Driver query ST-coverage: a REAL micro-batch streaming execution of
+    * the windowed aggregation — file source split into 4 in-order
+    * batches, 1-hour watermark, complete mode, Trigger.AvailableNow —
+    * whose final table must equal the batch oracle bit-for-bit.
+    */
+  def streamWindowQuery(spark: SparkSession, events: DataFrame): DataFrame = {
+    val src = stageTimeOrderedFiles(spark, events, Seq("ts", "event_id"), 4)
+    val name = s"graft_stream_win_${System.nanoTime()}"
+    val schema = spark.read.parquet(src).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", "1 hour")
+    val q = eventWindowAgg(in)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Driver query ST5-coverage: REAL streaming stateful sessionization —
+    * flatMapGroupsWithState in Update mode over 3 in-order micro-batches.
+    * The memory sink accumulates each batch's running totals; the final
+    * per-user totals (max of the monotone counters) must equal the batch
+    * window-function query.
+    */
+  def streamSessionsQuery(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val evs = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp_ltz")).as("ts_us"))
+    val src = stageTimeOrderedFiles(spark, evs, Seq("ts_us", "event_id"), 3)
+    val name = s"graft_stream_sess_${System.nanoTime()}"
+    val schema = spark.read.parquet(src).schema
+    val q = sessionize(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src).as[Ev])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+           max(col("n_events")).as("n_events"))
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, count: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
