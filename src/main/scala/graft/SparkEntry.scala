@@ -305,6 +305,37 @@ object SparkEntry {
              sum($"span_count").cast("long").as("n_spans"))
     }),
 
+    // S7 fixture scan end-to-end: golden span fixtures serialized as
+    // JSON, read back via spark.read.json with an EXPLICIT schema and a
+    // schema_version gate (the reference's fixture loader asserts
+    // schema_version == 1 — baselines/README.md:20-21), and digested
+    // per doc. The DuckDB oracle recomputes the digest from raw
+    // documents, so any corruption in the JSON round-trip hash-fails.
+    "fix_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-fixtures").toString
+      graft.pipeline.Extraction
+        .extractDs(graft.corpus.CorpusDerive.derive(s, dir))
+        .select($"doc_id", $"spans", lit(1).as("schema_version"))
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("spans", ArrayType(StructType(Seq(
+          StructField("kind", StringType),
+          StructField("text", StringType),
+          StructField("media_ref", StringType),
+          StructField("order", IntegerType))))),
+        StructField("schema_version", IntegerType)))
+      s.read.schema(schema).json(out)
+        .filter($"schema_version" === 1)
+        .select($"doc_id", size($"spans").cast("long").as("n_spans"),
+          md5(array_join(transform($"spans", sp =>
+            concat_ws("|", sp("kind"), sp("text"), sp("media_ref"),
+              sp("order"))), "\u0001")).as("digest"))
+    }),
+
     // Native codegen'd Catalyst expression (SparkSessionExtensions tier):
     // normalize noisy text (CRLF + EOS sentinel + padding) back to the
     // clean original — oracle is simply the original column.
@@ -474,6 +505,41 @@ object SparkEntry {
         |         ELSE []::VARCHAR[] END),
         |    chr(10) || chr(10)) AS markdown
         |FROM w""".stripMargin,
+
+    "fix_roundtrip" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text,' ') AS words,
+        |         CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT) AS p
+        |  FROM documents),
+        |spans AS (
+        |  SELECT printf('d%010d', doc_id) AS doc_id, 'heading' AS kind,
+        |         '# ' || array_to_string(list_slice(words,1,3),' ') AS text,
+        |         '' AS media_ref, 0::BIGINT AS ord
+        |  FROM w
+        |  UNION ALL
+        |  SELECT printf('d%010d', doc_id), 'paragraph',
+        |         array_to_string(list_slice(words, 4+(i-1)*12, 3+i*12), ' '),
+        |         '', i::BIGINT
+        |  FROM (SELECT doc_id, words, unnest(generate_series(1, p)) AS i FROM w)
+        |  UNION ALL
+        |  SELECT printf('d%010d', doc_id), 'table',
+        |         '| k | v |' || chr(10) || '| r' || doc_id || ' | c' || doc_id || ' |',
+        |         '', (1 + p)::BIGINT
+        |  FROM w WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT printf('d%010d', doc_id), 'figure', '',
+        |         'img://' || doc_id || '/0',
+        |         (1 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM w WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT printf('d%010d', doc_id), 'figure', '',
+        |         'img://' || doc_id || '/1',
+        |         (2 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM w WHERE doc_id % 4 = 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  md5(string_agg(kind || '|' || text || '|' || media_ref || '|' || ord,
+        |                 chr(1) ORDER BY ord)) AS digest
+        |FROM spans GROUP BY doc_id""".stripMargin,
 
     "ext_headings" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,
