@@ -177,6 +177,8 @@ object SparkEntry {
       graft.streaming.StreamingExtract.streamWindowQuery(s, t(s, dir, "events"))),
     "ev_stream_sessions" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamSessionsQuery(s, t(s, dir, "events"))),
+    "ev_stream_late" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamLateReconcileQuery(s, t(s, dir, "events"))),
 
     "ev_json" -> ((s, dir) => {
       import s.implicits._
@@ -653,6 +655,13 @@ object SparkEntry {
 
     // streaming executions converge to the exact batch answers
     "ev_stream_window" ->
+      """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+
+    // after the late-drop + flush repair, the sink equals the batch agg
+    "ev_stream_late" ->
       """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS win_us,
         |  count(*)::BIGINT AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c

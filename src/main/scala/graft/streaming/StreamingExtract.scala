@@ -75,23 +75,16 @@ object StreamingExtract {
       .start()
   }
 
-  /** Stage the events table as `nFiles` time-ranged parquet files with
-    * strictly increasing modification times, so a file stream consumes
-    * them as in-order micro-batches (FileStreamSource orders by mtime).
-    * Driver-query plumbing — the measured pipelines never do this.
+  /** Stage each frame as one parquet file with strictly increasing
+    * modification times, so a file stream consumes them as in-order
+    * micro-batches (FileStreamSource orders by mtime). Driver-query
+    * plumbing — the measured pipelines never do this.
     */
-  def stageTimeOrderedFiles(spark: SparkSession, events: DataFrame,
-                            orderCols: Seq[String], nFiles: Int): String = {
-    import org.apache.spark.sql.expressions.Window
+  def stageOrderedParts(spark: SparkSession, parts: Seq[DataFrame]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val total = events.count()
-    val bucketed = events.withColumn("__b",
-      ((row_number().over(w) - 1) * nFiles / total).cast("int"))
-    (0 until nFiles).foreach { i =>
+    parts.zipWithIndex.foreach { case (df, i) =>
       val part = java.nio.file.Files.createTempDirectory("graft-stream-part")
-      bucketed.filter(col("__b") === i).drop("__b")
-        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
       val src = java.nio.file.Files.list(part).iterator()
       var moved = false
       while (src.hasNext) {
@@ -107,6 +100,18 @@ object StreamingExtract {
       require(moved, s"no parquet part produced for stream bucket $i")
     }
     dir.toString
+  }
+
+  /** Stage the events table as `nFiles` time-ranged parquet files. */
+  def stageTimeOrderedFiles(spark: SparkSession, events: DataFrame,
+                            orderCols: Seq[String], nFiles: Int): String = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val total = events.count()
+    val bucketed = events.withColumn("__b",
+      ((row_number().over(w) - 1) * nFiles / total).cast("int"))
+    stageOrderedParts(spark,
+      (0 until nFiles).map(i => bucketed.filter(col("__b") === i).drop("__b")))
   }
 
   /** Driver query ST-coverage: a REAL micro-batch streaming execution of
@@ -129,6 +134,77 @@ object StreamingExtract {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Run [[eventWindowAgg]] as an Update-mode watermarked stream over
+    * pre-staged source files; returns the final per-window values (the
+    * running counters are monotone for non-negative event values, so the
+    * last emission per window is the max).
+    */
+  private[graft] def runUpdateWindowStream(spark: SparkSession, src: String): DataFrame = {
+    val name = s"graft_stream_upd_${System.nanoTime()}"
+    val schema = spark.read.parquet(src).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", "1 hour")
+    val q = eventWindowAgg(in)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"), col("win_us"))
+      .agg(max(col("n")).as("n"), max(col("sum_c")).as("sum_c"))
+  }
+
+  /** Three-batch late-arrival staging: [old on-time history] →
+    * [the final hour of on-time data, which advances the watermark] →
+    * [a deterministic 10% held-back late subset]. Watermark mechanics
+    * need the middle batch: the watermark computed from batch N's data
+    * only takes effect in batch N+1, and state eviction runs at the END
+    * of a batch — so with two batches the late rows would still merge
+    * into live state. With three, the late batch finds its windows'
+    * state evicted (or its rows filtered) and its contribution is lost.
+    */
+  private[graft] def stageLateArrival(spark: SparkSession,
+                                      events: DataFrame): String = {
+    import spark.implicits._
+    val gate = graft.functions.Hashing.md5iCol(
+      concat(lit("late|"), col("event_id").cast("string"))) % 10L
+    val ontime = events.filter(gate =!= 0L)
+    val late = events.filter(gate === 0L)
+    val maxTs = ontime.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600L * 1000L)
+    val src = stageOrderedParts(spark, Seq(
+      ontime.filter(col("ts") <= cutoff),
+      ontime.filter(col("ts") > cutoff),
+      late))
+    src
+  }
+
+  /** ST3 — late-data flush / reconciliation, driver-verified. A
+    * deterministic 10% of events is held back and arrives as the LAST
+    * micro-batch, after the watermark has advanced past most of its
+    * windows: the streaming engine DROPS those rows (the reference's
+    * "tokens missed between last callback and completion",
+    * server/stream.rs:261-285). The flush then repairs the sink from the
+    * source of truth — windows whose sink row disagrees with the batch
+    * recomputation are replaced, missing windows appended. The query
+    * returns the REPAIRED sink; it hash-matches the batch oracle only if
+    * both the drop actually happened the way watermarking promises and
+    * the repair logic is correct.
+    */
+  def streamLateReconcileQuery(spark: SparkSession, events: DataFrame): DataFrame = {
+    val streamed = runUpdateWindowStream(spark, stageLateArrival(spark, events))
+    // flush_remaining: recompute affected windows from the source
+    val truth = eventWindowAgg(events)
+    val keys = Seq("event_type", "win_us")
+    val corrections = truth.join(streamed,
+      keys ++ Seq("n", "sum_c"), "left_anti")
+    streamed.join(corrections.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(corrections)
   }
 
   /** Driver query ST5-coverage: REAL streaming stateful sessionization —

@@ -92,6 +92,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-data reconciliation (ST3): watermark drops rows; flush repairs the sink") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val src = graft.streaming.StreamingExtract.stageLateArrival(spark, events)
+    val streamed = graft.streaming.StreamingExtract
+      .runUpdateWindowStream(spark, src)
+    val truth = graft.streaming.StreamingExtract.eventWindowAgg(events)
+    val keys = Seq("event_type", "win_us")
+    // the drop genuinely happened: the raw sink disagrees with the truth
+    val dropped = truth.join(streamed, keys ++ Seq("n", "sum_c"), "left_anti")
+      .count()
+    assert(dropped > 0, "no rows were dropped — the flush path is vacuous")
+    // the flush repairs it exactly
+    val repaired = graft.streaming.StreamingExtract
+      .streamLateReconcileQuery(spark, events)
+    assert(repaired.join(truth, keys ++ Seq("n", "sum_c"), "left_anti").count() == 0)
+    assert(repaired.count() == truth.count())
+  }
+
   test("stateful query restart recovers state from checkpoint (ST5/resume analog)") {
     import spark.implicits._
     import java.nio.file.Files
