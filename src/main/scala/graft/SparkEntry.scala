@@ -223,6 +223,22 @@ object SparkEntry {
                 $"n_orders", $"total_cents")
     }),
 
+    // Custom whole-operator plan (LogicalPlan + Rule + Strategy +
+    // SparkPlan via extensions): the rank-filter window re-plans as two
+    // sort-free bounded-heap TopKPerKeyExec passes around one exchange.
+    "topk_native" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.TopKPerKeyPlans.TopKPerKeyExtension.install(s)
+      t(s, dir, "events")
+        .withColumn("value_c", floor($"value" * 100).cast("long"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"user_id")
+            .orderBy($"value_c".desc, $"event_id")).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"user_id", $"event_id", $"value_c", $"rnk")
+    }),
+
     "topk_brands" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "part").groupBy($"p_brand")
@@ -708,6 +724,15 @@ object SparkEntry {
     "topk_brands" ->
       """SELECT p_brand, count(*)::BIGINT AS n FROM part
         |GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 5""".stripMargin,
+
+    "topk_native" ->
+      """SELECT user_id, event_id, value_c, rnk FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value*100) AS BIGINT) AS value_c,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(value*100) AS BIGINT) DESC, event_id) AS BIGINT) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3""".stripMargin,
 
     "ta_bpe" ->
       s"""SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens_ws,
