@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -17,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * real `Expression` with `doGenCode` stays inside whole-stage codegen
   * (one virtual-free static call per row), where a Scala UDF would break
   * the codegen span and pay SerDe per call. Registered either through
-  * [[GraftExtensions]] (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  * [[graft.GraftExtensions]] (`spark.sql.extensions=graft.GraftExtensions`)
   * or imperatively with [[NormalizeText.register]].
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -59,12 +58,4 @@ object NormalizeText {
       spark.sessionState.functionRegistry.registerFunction(
         id, info, (children: Seq[Expression]) => NormalizeText(children.head))
   }
-}
-
-/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_normalize_text"),
-      NormalizeText.info,
-      (children: Seq[Expression]) => NormalizeText(children.head)))
 }

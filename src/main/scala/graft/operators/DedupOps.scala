@@ -242,12 +242,13 @@ object DedupOps {
     out
   }
 
-  /** (doc_id, simhash) for every document — narrow per-row pass. */
+  /** (doc_id, simhash) for every document — a codegen'd projection via
+    * the native [[graft.functions.SimHashExpr]] expression (no typed-map
+    * encoder round trip; the sketch column runs at scan speed).
+    */
   def simhashDf(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("doc_id", "simhash")
+    graft.functions.SimHashExpr.register(spark)
+    docs.selectExpr("doc_id", "graft_simhash(text) AS simhash")
   }
 
   /** Bits per LSH band of the 16-bit hyperplane sketch (4 bands × 4). */

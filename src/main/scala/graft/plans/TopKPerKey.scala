@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
@@ -30,7 +29,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * rows/values are IDENTICAL to the window formulation (same order
   * semantics, deterministic given a total order).
   *
-  * Registered the Spark-native way — [[GraftExtensions]] for
+  * Registered the Spark-native way — [[graft.GraftExtensions]] for
   * `spark.sql.extensions`, or [[TopKPerKeyExtension.install]] via the
   * public `spark.experimental` hooks on a live session. This is the
   * (c)-tier custom operator path: LogicalPlan + Rule[LogicalPlan] +
@@ -186,13 +185,5 @@ object TopKPerKeyPlans {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ TopKStrategy
     }
-  }
-}
-
-/** `spark.sql.extensions=graft.plans.GraftExtensions` deployment path. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule(_ => TopKPerKeyPlans.TopKRewriteRule)
-    e.injectPlannerStrategy(_ => TopKPerKeyPlans.TopKStrategy)
   }
 }

@@ -34,3 +34,27 @@ class NormalizeExprSpec extends AnyFunSuite {
     assert(df.as[String].head().endsWith(first.takeRight(5).trim))
   }
 }
+
+/** Native SimHash expression: codegen path == kernel function. */
+class SimHashExprSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("graft_simhash == DedupOps.simhash, null-safe, codegen'd") {
+    import spark.implicits._
+    graft.functions.SimHashExpr.register(spark)
+    val texts = Seq("alpha beta gamma", "", "one two one two", "x")
+    val got = texts.toDF("t").selectExpr("graft_simhash(t)")
+      .as[Long].collect().toSeq
+    assert(got == texts.map(graft.operators.DedupOps.simhash))
+    // null input -> null out (UnaryExpression null-safety)
+    val n = Seq[Option[String]](None).toDF("t")
+      .selectExpr("graft_simhash(t)").collect()
+    assert(n.head.isNullAt(0))
+    // stays inside whole-stage codegen (no typed-map SerDe break)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "graft_simhash(text) AS sh")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("Project"), plan)
+  }
+}
