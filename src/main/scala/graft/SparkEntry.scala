@@ -1060,33 +1060,36 @@ object SparkEntry {
     // the oracle asserts the expected diff stats bit-for-bit
     "parity_stats" ->
       s"""WITH c AS (
-         |  SELECT len(ws)::BIGINT AS n_words,
+         |  SELECT doc_id, len(ws)::BIGINT AS n_words,
          |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS chars,
          |    len(list_filter(ws, x -> x IN (${TextOps.sqlInList(TextOps.QualityStop)})))::BIGINT AS n_stop
-         |  FROM (SELECT string_split(text,' ') AS ws FROM documents)),
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
          |q AS (
-         |  SELECT
+         |  SELECT doc_id,
          |    CASE WHEN n_words > 0 THEN CAST(chars*100 AS DOUBLE)/n_words ELSE 0.0 END AS mwl_raw,
          |    CASE WHEN n_words > 0 THEN CAST(n_stop*10000 AS DOUBLE)/n_words ELSE 0.0 END AS stop_raw
-         |  FROM c)
+         |  FROM c),
+         |m6 AS (
+         |  SELECT doc_id,
+         |    CAST(floor((mwl_raw - floor(mwl_raw)) * 1000000) AS BIGINT) AS mq6,
+         |    CAST(floor((stop_raw - floor(stop_raw)) * 1000000) AS BIGINT) AS sq6
+         |  FROM q)
          |SELECT 'tokens' AS stage, count(*)::BIGINT AS n_rows,
-         |  0::BIGINT AS max_diff_q6, 0::BIGINT AS n_over_band,
-         |  0::BIGINT AS band_q6, 1::BIGINT AS pass
+         |  0::BIGINT AS max_diff_q6, CAST(min(doc_id) AS BIGINT) AS argmax_key,
+         |  0::BIGINT AS n_over_band, 0::BIGINT AS band_q6, 1::BIGINT AS pass
          |FROM documents
          |UNION ALL
-         |SELECT 'quality_mwl', count(*)::BIGINT,
-         |  CAST(floor(max(mwl_raw - floor(mwl_raw)) * 1000000) AS BIGINT),
-         |  CAST(sum(CASE WHEN CAST(floor((mwl_raw - floor(mwl_raw)) * 1000000) AS BIGINT) > 1000000
-         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |SELECT 'quality_mwl', count(*)::BIGINT, max(mq6)::BIGINT,
+         |  CAST(min(CASE WHEN mq6 = mx THEN doc_id END) AS BIGINT),
+         |  CAST(sum(CASE WHEN mq6 > 1000000 THEN 1 ELSE 0 END) AS BIGINT),
          |  1000000::BIGINT, 1::BIGINT
-         |FROM q
+         |FROM (SELECT doc_id, mq6, max(mq6) OVER () AS mx FROM m6)
          |UNION ALL
-         |SELECT 'quality_stop', count(*)::BIGINT,
-         |  CAST(floor(max(stop_raw - floor(stop_raw)) * 1000000) AS BIGINT),
-         |  CAST(sum(CASE WHEN CAST(floor((stop_raw - floor(stop_raw)) * 1000000) AS BIGINT) > 1000000
-         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |SELECT 'quality_stop', count(*)::BIGINT, max(sq6)::BIGINT,
+         |  CAST(min(CASE WHEN sq6 = sx THEN doc_id END) AS BIGINT),
+         |  CAST(sum(CASE WHEN sq6 > 1000000 THEN 1 ELSE 0 END) AS BIGINT),
          |  1000000::BIGINT, 1::BIGINT
-         |FROM q""".stripMargin,
+         |FROM (SELECT doc_id, sq6, max(sq6) OVER () AS sx FROM m6)""".stripMargin,
 
     // greedy decode replay: g(doc,j) = argmax_t md5i("dec|doc|j|t");
     // first j with g=0 is the EOS step (token not emitted)

@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Parity {
 
-  /** One stage's diff stats: (stage, n_rows, max_diff_q6, n_over_band,
-    * band_q6, pass).
+  /** One stage's diff stats: (stage, n_rows, max_diff_q6, argmax_key,
+    * n_over_band, band_q6, pass). The argmax key (smallest key attaining
+    * the max diff; -1 for an empty stage) comes from the
+    * [[MaxAbsDiff.agg]] typed Aggregator — the reference's verify reduce
+    * reports the offending coordinates, not just the magnitude.
     */
-  def stageDiff(stage: String, df: DataFrame, a: Column, b: Column,
-                bandQ6: Long): DataFrame = {
+  def stageDiff(stage: String, df: DataFrame, key: Column, a: Column,
+                b: Column, bandQ6: Long): DataFrame = {
     val d = abs(a.cast("double") - b.cast("double"))
+    val maxDiff = udaf(MaxAbsDiff.agg)
     df.agg(
         count(lit(1)).as("n_rows"),
-        coalesce(floor(max(d) * 1000000).cast("long"), lit(0L)).as("max_diff_q6"),
+        maxDiff(d, key.cast("long")).as("md"),
         coalesce(sum(when(floor(d * 1000000).cast("long") > bandQ6, 1L)
           .otherwise(0L)), lit(0L)).as("n_over_band"))
-      .select(lit(stage).as("stage"), col("n_rows"), col("max_diff_q6"),
+      .select(lit(stage).as("stage"), col("n_rows"),
+        col("md.maxQ6").as("max_diff_q6"),
+        col("md.atKey").as("argmax_key"),
         col("n_over_band"), lit(bandQ6).as("band_q6"),
         when(col("n_over_band") === 0L, 1L).otherwise(0L).as("pass"))
   }
@@ -67,7 +73,8 @@ object Parity {
                        + when($"doc_id" % 4 === 0, 1L).otherwise(0L)))
         .as("expected"))
     val tokStage = stageDiff("tokens",
-      kernelTokens.join(formula, "doc_id"), $"actual", $"expected", bandQ6 = 0L)
+      kernelTokens.join(formula, "doc_id"), $"doc_id", $"actual",
+      $"expected", bandQ6 = 0L)
 
     // quality stages: raw double ratio vs its floor-quantized value
     val ws = split($"text", " ")
@@ -79,12 +86,13 @@ object Parity {
       .otherwise(0.0)
     val stopRaw = when(nWords > 0, (nStop * 10000).cast("double") / nWords)
       .otherwise(0.0)
-    val q = docs.select(mwlRaw.as("mwl_raw"), floor(mwlRaw).as("mwl_q"),
-      stopRaw.as("stop_raw"), floor(stopRaw).as("stop_q"))
-    val mwlStage = stageDiff("quality_mwl", q, $"mwl_raw", $"mwl_q",
-      bandQ6 = 1000000L)
-    val stopStage = stageDiff("quality_stop", q, $"stop_raw", $"stop_q",
-      bandQ6 = 1000000L)
+    val q = docs.select($"doc_id", mwlRaw.as("mwl_raw"),
+      floor(mwlRaw).as("mwl_q"), stopRaw.as("stop_raw"),
+      floor(stopRaw).as("stop_q"))
+    val mwlStage = stageDiff("quality_mwl", q, $"doc_id", $"mwl_raw",
+      $"mwl_q", bandQ6 = 1000000L)
+    val stopStage = stageDiff("quality_stop", q, $"doc_id", $"stop_raw",
+      $"stop_q", bandQ6 = 1000000L)
 
     tokStage.unionAll(mwlStage).unionAll(stopStage)
   }
