@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  /** `partMult`: shuffle partitions per core. The scaling sessions use 8
+    * (fine partitions smooth hypervisor-steal stragglers — measured: at 8
+    * threads under heavy steal, cpus×8 cut the pipeline from 26 s to
+    * 15 s while cpus×2 was hostage to one slow partition); the per-query
+    * session keeps 2 (AQE coalesces small exchanges there anyway).
+    */
+  private def session(cpus: Int, partMult: Int = 2): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.sql.shuffle.partitions", cpus * partMult)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dir: the single-box stand-in for cluster-local NVMe;
@@ -88,33 +94,37 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // min-of-2 for every stage: one-shot numbers are hostage to
+    // hypervisor-steal weather on this box (a clean write measures ~9 s,
+    // a stolen window 5-10x that)
+    def min2(f: => Unit): Double = math.min(time(f), time(f))
     val tally = new ShuffleTally
     val base = Map(
-      "scan_derive" -> time(amplified(spark, sfDir, factor)
+      "scan_derive" -> min2(amplified(spark, sfDir, factor)
         .select(count(lit(1))).head()),
-      "extract_noshuffle" -> time(
+      "extract_noshuffle" -> min2(
         graft.pipeline.Extraction.extractDs(amplified(spark, sfDir, factor))
           .select(count(lit(1)), sum(size($"spans"))).head()),
       "extract_pipeline" -> {
         spark.sparkContext.addSparkListener(tally)
-        val t = time(
+        val t = min2(
           graft.pipeline.Extraction.pipeline(amplified(spark, sfDir, factor))
             .select(count(lit(1)), sum(size($"spans"))).head())
         spark.sparkContext.removeSparkListener(tally)
         t
       },
-      "write_resumable" -> {
+      "write_resumable" -> min2 {
         val out = s"/dev/shm/graft-bench-write-${System.nanoTime()}"
-        val t = time(graft.pipeline.TableIO.writeResumable(
+        graft.pipeline.TableIO.writeResumable(
           graft.pipeline.Extraction.extractRows(
             amplified(spark, sfDir, math.max(1, factor / 4)), buckets = 64),
-          out))
+          out)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-        t
       })
     base ++ Map(
-      "pipeline_shuffle_write_mb" -> tally.written.get() / 1048576.0,
-      "pipeline_shuffle_read_mb" -> tally.read.get() / 1048576.0)
+      // the tally listener saw BOTH min-of-2 pipeline executions
+      "pipeline_shuffle_write_mb" -> tally.written.get() / 2.0 / 1048576.0,
+      "pipeline_shuffle_read_mb" -> tally.read.get() / 2.0 / 1048576.0)
   }
 
   /** Identical-content flood: the dedup skew scenario the MaxBucket cap
@@ -209,25 +219,38 @@ object Bench {
         f
       } finally s.stop()
     }
-    val scaling = Seq(scaleN, scaleN * 4).map { n =>
-      val s = session(n)
+    // INTERLEAVED session windows (N, 4N, N, 4N): the two levels are
+    // minutes apart if measured back-to-back, so slow machine drift
+    // (page cache, frequency scaling, background load) lands directly
+    // in the efficiency ratio; alternating windows exposes both levels
+    // to the same drift and the per-level min is the steady-state
+    // capacity. min-of-k per window; the short 4N runs are
+    // proportionally noisier so they get more repetitions.
+    val bestByLevel = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Double)]
+    Seq(scaleN, scaleN * 4, scaleN, scaleN * 4).foreach { n =>
+      val s = session(n, partMult = 8)
       try {
-        // min-of-k approximates steady-state capacity under GC/scheduler
-        // noise; the short 4N runs are proportionally noisier, so they
-        // get more repetitions (the extra reps cost seconds, not minutes)
         System.gc()
-        val reps = if (n == scaleN * 4) 5 else 3
+        val reps = if (n == scaleN * 4) 3 else 2
         val (docs, spans, sec) = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
           .minBy(_._3)
-        n -> (docs, spans, sec, docs / sec)
+        val best = bestByLevel.get(n) match {
+          case Some(prev) if prev._3 <= sec => prev
+          case _ => (docs, spans, sec)
+        }
+        bestByLevel(n) = best
       } finally s.stop()
+    }
+    val scaling = bestByLevel.map { case (n, (docs, spans, sec)) =>
+      n -> (docs, spans, sec, docs / sec)
     }.toMap
     // stage/skew/flood diagnostics in a FRESH 4N session: these are
     // one-shot (no min-of-k), and a session that just chewed through
     // 5×16M-doc reps carries heap/GC state that inflated them 3×
     // run-to-run. A clean session makes the diagnostics reproducible.
     val stages = {
-      val s = session(scaleN * 4)
+      val s = session(scaleN * 4, partMult = 8)
       try Map(s"local${scaleN * 4}" ->
         (stageTimes(s, sfDir, amplify) ++
           skewTimes(s, sfDir, amplify / 4) ++ floodTimes(s)))
