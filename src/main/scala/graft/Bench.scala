@@ -163,18 +163,21 @@ object Bench {
   }
 
   /** Skew scenario: a "hot host" whose pages sit CONSECUTIVE in doc_id
-    * space (ids with base % 1000 < 20, i.e. contiguous runs of 2%) gets
-    * 30× the spans per doc. The range partitioner balances ROW counts, so
-    * without salting those runs concentrate 30×-cost rows into a few
-    * ranges → stragglers; the salt term scatters them uniformly.
-    * Measured as salted (64 buckets) vs unsalted (saltBuckets=1).
+    * space gets 30× the spans per doc. The hot runs must EXCEED the
+    * partition granularity for range placement to feel them (a web-scale
+    * host's id block dwarfs one partition): ids with base % 5000 < 250
+    * give 5% of bases in contiguous runs of ~200k amplified rows ≈ one
+    * full shuffle partition of pure 30×-cost rows. Row-count-balanced
+    * range boundaries cannot see the cost → stragglers; the salt term
+    * scatters them uniformly. Measured salted (64 buckets) vs unsalted
+    * (saltBuckets=1); round-2 measurement: 17.0 s vs 22.3 s at local[8].
     */
   private def skewTimes(spark: SparkSession, sfDir: String,
                         factor: Int): Map[String, Double] = {
     import spark.implicits._
     def skewed = amplified(spark, sfDir, factor).map { d =>
       val baseNum = d.doc_id.slice(1, 11).toLong // "dNNNNNNNNNN[-i]"
-      if (baseNum % 1000 < 20)
+      if (baseNum % 5000 < 250)
         Doc(d.doc_id, Seq.fill(30)(d.spans).flatten)
       else d
     }
