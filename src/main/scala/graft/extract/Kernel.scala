@@ -30,6 +30,13 @@ object Kernel {
     b.trim // returns this when already trimmed
   }
 
+  /** Exactly the Java regex `\s` class — NOT Character.isWhitespace,
+    * which additionally accepts u001C-u001F and u2028/u2029 and would
+    * silently diverge from regex-based oracle semantics on control chars.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
   /** Whitespace tokenizer without regex: String.split("\\s+") compiles a
     * Pattern per CALL (only single-literal-char splits take the JDK fast
     * path), and this runs for every markup span of every document.
@@ -39,9 +46,9 @@ object Kernel {
     val n = text.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isWs(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isWs(text.charAt(i))) i += 1
       if (i > start) out += text.substring(start, i)
     }
     out.result()

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *      * `MaxBucket` — an identical-content flood lands every copy in the
   *        same band bucket; buckets over the cap emit a linear STAR of
   *        pairs to the bucket's min doc_id (the representative) instead of
-  *        all O(bucket²) pairs. Every member stays transitively connected
-  *        to the whole bucket through the representative, so connected-
-  *        component dedup keeps identical semantics while one viral page
-  *        can no longer produce a quadratic task.
+  *        all O(bucket²) pairs. The cap TRADES RECALL on heterogeneous
+  *        over-cap buckets for bounded work: star pairs still pass exact
+  *        verification, so in an over-cap bucket whose members are near-dup
+  *        to each other but NOT to the representative, those pairs are not
+  *        emitted. Identical-content floods (the case the cap exists for)
+  *        are fully preserved — every member verifies against the
+  *        representative and stays one connected component. The DuckDB
+  *        oracle mirrors the cap, so parity holds either way.
   *      * `MaxDf` — boilerplate shingles shared by everything ("all rights
   *        reserved …") are dropped from the inverted index BEFORE the
   *        pair join (candidate generation only; verification still uses
@@ -54,6 +58,22 @@ object DedupOps {
 
   final case class DocShingles(doc_id: Long, shingles: Array[String],
                                sig: Array[Long])
+
+  /** One cache slot per operator: each invocation releases the PREVIOUS
+    * invocation's persisted sketch (non-blocking) before persisting its
+    * own, so a long-lived session (bench reruns each query, plus retries)
+    * holds at most one cached sketch per operator instead of accumulating
+    * blocks until eviction pressure. Unpersisting a slot whose returned
+    * DataFrame was never materialized merely recomputes lazily — never
+    * wrong, just unmemoized.
+    */
+  private val cacheSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
+  private def persistSlot[T](key: String, ds: Dataset[T]): Dataset[T] = {
+    val prev = cacheSlots.put(key, ds)
+    if (prev != null) prev.unpersist(blocking = false)
+    ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Word 3-shingles; docs shorter than 3 words contribute one whole-text
     * shingle. split limit -1 keeps trailing empties = DuckDB string_split.
@@ -149,8 +169,7 @@ object DedupOps {
     // both sides of the verification join); recomputing the shingle/
     // signature pass per reference would triple the dominant cost. At
     // corpus scale this materializes to a sketch table instead.
-    val ds = docShingles(spark, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ds = persistSlot("minhash", docShingles(spark, docs))
     val bands = ds.flatMap { d =>
       (0 until Bands).iterator.map(b => (bandKey(d.sig, b), d.doc_id))
     }.toDF("bk", "doc_id")
@@ -174,10 +193,10 @@ object DedupOps {
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
                         maxDf: Int = MaxDf): DataFrame = {
     import spark.implicits._
-    val ds = docs.select("doc_id", "source", "text").as[(Long, String, String)]
-      .map { case (id, src, text) => (id, src, shingles(text).distinct) }
-      .toDF("doc_id", "source", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ds = persistSlot("ngram",
+      docs.select("doc_id", "source", "text").as[(Long, String, String)]
+        .map { case (id, src, text) => (id, src, shingles(text).distinct) }
+        .toDF("doc_id", "source", "sh"))
     val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
     // viral shingles are FEW by construction (each needs > maxDf docs),
     // so prune with a broadcastable anti-join against that small side
@@ -190,27 +209,28 @@ object DedupOps {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val sets = ds.select($"doc_id", $"sh")
-    cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a")
-                .withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("sh", "sh_b"), "doc_b")
-      .select($"doc_a", $"doc_b",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("jacc_i"),
-        size(array_union($"sh_a", $"sh_b")).cast("long").as("jacc_u"))
-      .filter($"jacc_i" * 10 >= $"jacc_u" * 3)
+    verifyJaccard(spark, cand, ds.select($"doc_id", $"sh".as("shingles")),
+      numerator = 10, denominator = 3)
   }
 
+  /** Exact-Jaccard pair verification with a FUSED set fetch: both sides'
+    * shingle sets arrive through ONE join on a pair-exploded frame
+    * (2 rows per candidate pair) instead of two sequential doc_id joins —
+    * the doc→set table is shuffled once, and the plan carries one join
+    * fewer. Re-assembly is exact: each (doc_a, doc_b) group holds exactly
+    * two rows (doc_a < doc_b guarantees the sides are distinct ids), one
+    * per side, so the ignoreNulls `first` per side is deterministic.
+    */
   private def verifyJaccard(spark: SparkSession, cand: DataFrame,
-      ds: DataFrame, numerator: Int, denominator: Int): DataFrame = {
+      sets: DataFrame, numerator: Int, denominator: Int): DataFrame = {
     import spark.implicits._
-    val sets = ds.select($"doc_id", $"shingles")
-    cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a")
-                .withColumnRenamed("shingles", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("shingles", "sh_b"), "doc_b")
+    val sides = cand.select($"doc_a", $"doc_b",
+      explode(array($"doc_a", $"doc_b")).as("doc_id"))
+    sides.join(sets.select($"doc_id", $"shingles".as("sh")), "doc_id")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(
+        first(when($"doc_id" === $"doc_a", $"sh"), ignoreNulls = true).as("sh_a"),
+        first(when($"doc_id" === $"doc_b", $"sh"), ignoreNulls = true).as("sh_b"))
       .select($"doc_a", $"doc_b",
         size(array_intersect($"sh_a", $"sh_b")).cast("long").as("jacc_i"),
         size(array_union($"sh_a", $"sh_b")).cast("long").as("jacc_u"))
@@ -278,8 +298,7 @@ object DedupOps {
   def embeddingNearDupPairs(spark: SparkSession, emb: DataFrame,
                             maxBucket: Int = MaxBucket): DataFrame = {
     import spark.implicits._
-    val q = SimilarityOps.quantized(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = persistSlot("embedding", SimilarityOps.quantized(emb))
     val sk = SimilarityOps.lshSketch(spark, emb)
       .join(q.select($"vec_id", $"label"), "vec_id")
     val bands = sk

@@ -56,12 +56,19 @@ object TopKPerKeyPlans {
     */
   object TopKRewriteRule extends Rule[LogicalPlan] {
 
+    /** Long literal → Int only when it fits; out-of-range bounds mean
+      * "keep (almost) everything" and must fall through to Spark's own
+      * planning, not silently truncate to a tiny k.
+      */
+    private def longK(v: Long): Option[Int] =
+      if (v >= 1 && v <= Int.MaxValue) Some(v.toInt) else None
+
     /** rank bound: (attr ≤ k) | (attr < k) | (k ≥ attr) | (k > attr). */
     private def boundOf(cond: Expression): Option[(Attribute, Int)] = cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v))
-      case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType)) => Some((a, v.toInt))
+      case LessThanOrEqual(a: Attribute, Literal(v: Long, LongType)) => longK(v).map((a, _))
       case LessThan(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v - 1))
-      case LessThan(a: Attribute, Literal(v: Long, LongType)) => Some((a, v.toInt - 1))
+      case LessThan(a: Attribute, Literal(v: Long, LongType)) => longK(v - 1).map((a, _))
       case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) => Some((a, v))
       case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) => Some((a, v - 1))
       case _ => None
@@ -75,8 +82,12 @@ object TopKPerKeyPlans {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      // partitionSpec must be non-empty: the Final exec demands
+      // ClusteredDistribution(partitionExprs), and Spark rejects an
+      // empty clustering — global top-k stays on Spark's own plan.
       case f @ logical.Filter(cond, w: logical.Window)
-          if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty =>
+          if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty &&
+            w.partitionSpec.nonEmpty =>
         (w.windowExpressions.head, boundOf(cond)) match {
           case (alias @ Alias(expr, _), Some((rankAttr, k)))
               if isRowNumber(expr) && rankAttr.semanticEquals(alias.toAttribute)

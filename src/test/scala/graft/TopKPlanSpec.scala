@@ -59,6 +59,36 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(n == total)
   }
 
+  test("global top-k (empty partitionBy) stays on Spark's own plan") {
+    import spark.implicits._
+    // ClusteredDistribution(Nil) is rejected by Spark — the rewrite must
+    // decline, not crash at planning, and results must stay correct.
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"event_id")))
+      .filter($"rnk" <= 5)
+      .select($"event_id", $"rnk")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey "), plan)
+    val got = df.as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.length == 5 && got.map(_._1).sorted.sameElements(got.map(_._1)))
+  }
+
+  test("Long rank bound beyond Int.MaxValue falls back instead of truncating") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"event_id")).cast("long"))
+      .filter($"rnk" <= 4294967298L)
+      .select($"event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey "), plan)
+    // bound exceeds every group size → all rows survive
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(df.count() == total)
+  }
+
   test("rewrite declines multi-expression / non-row_number windows") {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"value".desc)
