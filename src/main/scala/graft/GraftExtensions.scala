@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       graft.functions.SimHashExpr.info,
       (children: Seq[Expression]) => graft.functions.SimHashExpr(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      graft.functions.MinHashSigExpr.info,
+      (children: Seq[Expression]) => graft.functions.MinHashSigExpr(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      graft.functions.MinHashSigExpr.shinglesInfo,
+      (children: Seq[Expression]) => graft.functions.ShinglesExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.TopKPerKeyPlans.TopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyPlans.TopKStrategy)
   }

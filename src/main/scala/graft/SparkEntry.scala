@@ -293,6 +293,10 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (real header decode) ----
     "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
     "mm_frames" -> ((s, dir) => MediaOps.frameSample(s, t(s, dir, "documents"))),
+    // S3's base64 half: data:image/<fmt>;base64 URLs decoded via the
+    // codegen'd unbase64 and header-parsed; non-data schemes rejected
+    // like the reference rejects local paths (server generation.rs).
+    "mm_data_url" -> ((s, dir) => MediaOps.dataUrlDecode(s, t(s, dir, "documents"))),
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
 
@@ -370,8 +374,20 @@ object SparkEntry {
     "tok_valid" -> ((s, dir) => graft.operators.TokenOps.tokenValidity(s, dir)),
     "tok_dict" -> ((s, dir) =>
       graft.operators.TokenOps.dictTokenize(s, t(s, dir, "documents"))),
+    // ids → text inverse decode (the reference's display round trip):
+    // encode through the broadcast vocab, decode through its inverse,
+    // report per-doc fidelity + decoded-text digest.
+    "tok_roundtrip" -> ((s, dir) =>
+      graft.operators.TokenOps.dictRoundTrip(s, t(s, dir, "documents"))),
     "moe_route" -> ((s, dir) =>
       graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings"))),
+    // J3's gather/compute/scatter-back stage: routed rows grouped by
+    // expert, a deterministic per-expert affine applied batched, results
+    // keyed back by (vec_id, expert_idx).
+    "moe_apply" -> ((s, dir) =>
+      graft.operators.RouteOps.applyPerExpert(
+        graft.operators.RouteOps.routeTopK(s, t(s, dir, "embeddings")))(
+        graft.operators.RouteOps.expertAffine)),
 
     // ---- driver verification of the spec-only components: greedy
     //      decoder (A3/T4/ST1), window partition (W2), layered config (J4) ----
@@ -1029,6 +1045,32 @@ object SparkEntry {
     "ext_normalize_expr" ->
       "SELECT doc_id, text AS norm FROM documents",
 
+    // §2.8 encoding family: the data-URL base64 round trip. Accepted
+    // data: URLs must parse back to the exact header-derived dims (any
+    // base64 corruption hash-fails); rejected schemes degrade to zeros.
+    "mm_data_url" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |r AS (
+         |  SELECT media_ref,
+         |    ${md5iSql("'rej|' || media_ref")} % 5 = 0 AS rej,
+         |    ${md5iSql("'w|' || media_ref")} % 1920 + 1 AS w,
+         |    ${md5iSql("'h|' || media_ref")} % 1080 + 1 AS h,
+         |    ${md5iSql("'t|' || media_ref")} % 3 AS tf
+         |  FROM refs)
+         |SELECT media_ref,
+         |  (CASE WHEN rej THEN 0 ELSE w END)::BIGINT AS width,
+         |  (CASE WHEN rej THEN 0 ELSE h END)::BIGINT AS height,
+         |  CASE WHEN rej THEN 'rejected'
+         |       WHEN tf = 0 THEN 'jpeg' WHEN tf = 1 THEN 'png' ELSE 'gif' END AS format,
+         |  (CASE WHEN rej THEN 0
+         |        WHEN tf = 0 THEN ${MediaOps.MediaHeaders.JpegLen}
+         |        WHEN tf = 1 THEN ${MediaOps.MediaHeaders.PngLen}
+         |        ELSE ${MediaOps.MediaHeaders.GifLen} END)::BIGINT AS n_bytes
+         |FROM r""".stripMargin,
+
     "tio_roundtrip" ->
       s"""WITH w AS (
          |  SELECT ${md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
@@ -1235,6 +1277,51 @@ object SparkEntry {
         |SELECT vec_id, expert_idx::BIGINT AS expert_idx, rnk, score,
         |  CAST(sum(score) OVER (PARTITION BY vec_id) AS BIGINT) AS score_topk_sum
         |FROM r WHERE rnk <= 2""".stripMargin,
+
+    // J3 gather/compute/scatter: per-expert affine over the routed rows,
+    // coefficients md5i-derived per expert — BIGINT-exact replay.
+    "moe_apply" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, i - 1 AS expert_idx, qv[i] AS score
+         |  FROM (SELECT vec_id, qv, unnest(generate_series(1, 8)) AS i FROM q)),
+         |r AS (
+         |  SELECT vec_id, expert_idx, score,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, expert_idx) AS rnk
+         |  FROM e)
+         |SELECT vec_id, expert_idx::BIGINT AS expert_idx,
+         |  ((${md5iSql("'ea|' || expert_idx")} % 1000000 + 1) * score
+         |    + ${md5iSql("'eb|' || expert_idx")} % 1000000007)::BIGINT AS out
+         |FROM r WHERE rnk <= 2""".stripMargin,
+
+    // ids→text round trip: in-vocab words decode back to themselves
+    // (bijective vocab), OOV decodes to the <unk> sentinel.
+    "tok_roundtrip" ->
+      s"""WITH cnt AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |v AS (
+         |  SELECT word, row_number() OVER (ORDER BY c DESC, word) - 1 AS vid
+         |  FROM cnt ORDER BY c DESC, word LIMIT ${graft.operators.TokenOps.DictSize}),
+         |tokw AS (
+         |  SELECT d.doc_id, g.i, d.ws[g.i] AS word
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) d,
+         |       LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i) g),
+         |dec AS (
+         |  SELECT t.doc_id, t.i,
+         |    CASE WHEN v.vid IS NOT NULL THEN t.word ELSE '${graft.operators.TokenOps.UnkToken}' END AS dw,
+         |    CASE WHEN v.vid IS NOT NULL THEN 1 ELSE 0 END AS rec
+         |  FROM tokw t LEFT JOIN v ON v.word = t.word)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  CAST(sum(rec) AS BIGINT) AS n_recovered,
+         |  (CASE WHEN sum(rec) = count(*) THEN 1 ELSE 0 END)::BIGINT AS exact,
+         |  md5(string_agg(dw, ' ' ORDER BY i)) AS digest
+         |FROM dec GROUP BY doc_id""".stripMargin,
   )
 
   private def md5iSql(e: String): String = graft.functions.Hashing.md5iSql(e)

@@ -165,16 +165,26 @@ object DedupOps {
   def minhashPairs(spark: SparkSession, docs: DataFrame,
                    maxBucket: Int = MaxBucket): DataFrame = {
     import spark.implicits._
-    // persist the sketches: referenced three times below (band explode +
-    // both sides of the verification join); recomputing the shingle/
-    // signature pass per reference would triple the dominant cost. At
-    // corpus scale this materializes to a sketch table instead.
-    val ds = persistSlot("minhash", docShingles(spark, docs))
-    val bands = ds.flatMap { d =>
-      (0 until Bands).iterator.map(b => (bandKey(d.sig, b), d.doc_id))
-    }.toDF("bk", "doc_id")
+    graft.functions.MinHashSigExpr.register(spark)
+    // The sketch pass rides the NATIVE graft_shingles/graft_minhash_sig
+    // expressions (codegen'd static calls — no typed-map encoder round
+    // trip; semantics identical to docShingles). Persist it: referenced
+    // three times below (band explode + both sides of the verification
+    // join); recomputing the shingle/signature pass per reference would
+    // triple the dominant cost. At corpus scale this materializes to a
+    // sketch table instead.
+    val ds = persistSlot("minhash", docs.selectExpr("doc_id",
+      "graft_shingles(text) AS shingles", "graft_minhash_sig(text) AS sig"))
+    // band key entirely in SQL: md5 of the comma-joined band slice —
+    // string-identical to bandKey (CAST(bigint AS STRING) = Long.toString)
+    val bands = ds.select($"doc_id", explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"md5(concat_ws(',', transform(slice(sig, b*$RowsPerBand+1, " +
+          s"$RowsPerBand), x -> CAST(x AS STRING)))))")).as("bk"))
+      .select($"bk", $"doc_id")
     val cand = bandCandidates(bands, maxBucket)
-    verifyJaccard(spark, cand, ds.toDF(), numerator = 10, denominator = 7)
+    verifyJaccard(spark, cand, ds.select($"doc_id", $"shingles"),
+      numerator = 10, denominator = 7)
   }
 
   /** n-gram Jaccard via an INVERTED SHINGLE INDEX with a df cap: explode
@@ -193,10 +203,9 @@ object DedupOps {
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
                         maxDf: Int = MaxDf): DataFrame = {
     import spark.implicits._
+    graft.functions.MinHashSigExpr.register(spark)
     val ds = persistSlot("ngram",
-      docs.select("doc_id", "source", "text").as[(Long, String, String)]
-        .map { case (id, src, text) => (id, src, shingles(text).distinct) }
-        .toDF("doc_id", "source", "sh"))
+      docs.selectExpr("doc_id", "source", "graft_shingles(text) AS sh"))
     val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
     // viral shingles are FEW by construction (each needs > maxDf docs),
     // so prune with a broadcastable anti-join against that small side

@@ -172,6 +172,43 @@ object MediaOps {
         explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L))).as("frame_idx"))
   }
 
+  /** S3's base64 half — the data-URL media front door. The reference's
+    * API path accepts ONLY `data:…;base64,` image URLs and rejects local
+    * paths / other schemes (/root/reference/crates/server/src/
+    * generation.rs:262-304). Here each media item is rendered as
+    * `data:image/<fmt>;base64,<bytes>` (a deterministic subset is rendered
+    * as a rejected `file://` ref instead), then decoded back with the
+    * codegen'd `unbase64` and header-parsed by [[MediaKernel.decode]] —
+    * so base64 encode/decode is load-bearing: if it corrupted a byte, the
+    * parsed dimensions would hash-mismatch. Rejected schemes degrade to
+    * ("rejected", 0×0, 0 bytes) rows, never an exception.
+    */
+  def dataUrlDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tHash = Hashing.md5iCol(concat(lit("t|"), col("media_ref"))) % 3L
+    val fmt = when(tHash === 0L, "jpeg").when(tHash === 1L, "png")
+      .otherwise("gif")
+    val rejected =
+      Hashing.md5iCol(concat(lit("rej|"), col("media_ref"))) % 5L === 0L
+    val urls = mediaItems(spark, docs).toDF()
+      .select(col("media_ref"),
+        when(rejected, concat(lit("file:///lake/"), col("media_ref")))
+          .otherwise(concat(lit("data:image/"), fmt, lit(";base64,"),
+            base64(col("content")))).as("url"))
+    // accept/reject + unbase64 stay codegen'd; only the header parse
+    // drops to the kernel (null bytes = rejected scheme)
+    urls.select(col("media_ref"),
+        when(col("url").startsWith("data:image/") &&
+             col("url").contains(";base64,"),
+          unbase64(substring_index(col("url"), ";base64,", -1))).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, bytes) =>
+        if (bytes == null) MediaMeta(ref, 0L, 0L, "rejected", 0L)
+        else MediaKernel.decode(MediaItem(0L, ref, bytes))
+      })
+      .toDF()
+  }
+
   /** File name for a media item when materialized to a lake directory
     * ("img://123/0" → "m123_0.jpg"), and the inverse. The binaryFile
     * source round-trip (S1) uses these.

@@ -50,17 +50,29 @@ object RouteOps {
   }
 
   /** Batched per-expert stage + scatter-back: groups routed rows by
-    * expert (the reference's index_select gather), applies `f` to each
-    * expert's batch, returns rows keyed back by (vec_id, expert_idx).
+    * expert (the reference's index_select gather), applies `f(expert,
+    * score)` to each expert's batch, returns rows keyed back by
+    * (vec_id, expert_idx).
     */
-  def applyPerExpert(routed: DataFrame)(f: Long => Long): DataFrame = {
+  def applyPerExpert(routed: DataFrame)(f: (Long, Long) => Long): DataFrame = {
     import routed.sparkSession.implicits._
     routed.select($"vec_id", $"expert_idx", $"score")
       .as[(Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (expert, rows) =>
-        rows.map { case (id, _, s) => (id, expert, f(s)) }
+        rows.map { case (id, _, s) => (id, expert, f(expert, s)) }
       }
       .toDF("vec_id", "expert_idx", "out")
   }
+
+  /** Deterministic per-expert compute kernel for the moe_apply oracle:
+    * out = a_e·score + b_e with md5i-derived coefficients — the "each
+    * expert applies its own weights" analog of the reference's per-expert
+    * FFN (/root/reference/crates/core/src/transformer/block.rs:677-722),
+    * exact in 64-bit (a_e < 10^6, |score| ≤ a few thousand quantized
+    * units) so DuckDB replays it bit-for-bit.
+    */
+  def expertAffine(expert: Long, score: Long): Long =
+    (graft.functions.Hashing.md5i(s"ea|$expert") % 1000000L + 1L) * score +
+      graft.functions.Hashing.md5i(s"eb|$expert") % 1000000007L
 }

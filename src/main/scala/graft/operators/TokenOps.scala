@@ -150,6 +150,43 @@ object TokenOps {
     }.toDF("doc_id", "n_tokens", "n_oov", "fp")
   }
 
+  /** Inverse-vocabulary decode round trip — the reference detokenizes ids
+    * back to text before display (/root/reference/crates/cli/src/
+    * app.rs:155-190); this is the encode→decode fidelity surface. Each
+    * doc's words encode through the broadcast vocab and decode through
+    * its inverse (OOV bucket id → the `<unk>` sentinel, which is what the
+    * round trip LOSES — in-vocab words decode back to themselves exactly
+    * because the vocab is a bijection). Output per doc: token count,
+    * recovered-word count, whether decode(encode(text)) == text, and an
+    * md5 digest of the decoded text the oracle recomputes.
+    */
+  val UnkToken = "<unk>"
+  def dictRoundTrip(spark: SparkSession, docs: DataFrame,
+                    k: Int = DictSize): DataFrame = {
+    import spark.implicits._
+    val vocab = spark.sparkContext.broadcast(buildVocab(docs, k))
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val v = vocab.value
+        val inv: Map[Long, String] = v.map(_.swap)
+        it.map { case (id, text) =>
+          val ws = text.split(" ")
+          var rec = 0L
+          val decoded = new Array[String](ws.length)
+          var i = 0
+          while (i < ws.length) {
+            val tid = v.getOrElse(ws(i), k.toLong)
+            if (tid == k.toLong) decoded(i) = UnkToken
+            else { decoded(i) = inv(tid); rec += 1 }
+            i += 1
+          }
+          val dec = decoded.mkString(" ")
+          (id, ws.length.toLong, rec, if (dec == text) 1L else 0L,
+            Hashing.md5hex(dec))
+        }
+      }.toDF("doc_id", "n_tokens", "n_recovered", "exact", "digest")
+  }
+
   /** Per-doc token accounting over the derived corpus — the A2 invariant
     * surface (mask ones == vision_token_total, inference.rs:163-172).
     */

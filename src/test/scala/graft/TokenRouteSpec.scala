@@ -86,7 +86,7 @@ class TokenRouteSpec extends AnyFunSuite {
       (1L, 0L, 1L, 3L, 6L), (1L, 1L, 2L, 3L, 6L)))
     // per-expert batched stage scatters back with ids preserved
     val applied = RouteOps.applyPerExpert(
-      RouteOps.routeTopK(spark, emb))(_ * 2)
+      RouteOps.routeTopK(spark, emb))((_, s) => s * 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(applied.map(_._1) == Set(0L, 1L))
     assert(applied.exists { case (id, e, o) => id == 0L && e == 1L && o == 16L })
