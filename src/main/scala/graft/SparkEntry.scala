@@ -74,6 +74,13 @@ object SparkEntry {
              max($"order").cast("long").as("max_order"))
     }),
 
+    // ST coverage for the DOC pipeline: extractStream (3 real
+    // micro-batches, AvailableNow) → idempotent batch commits →
+    // manifest-listed read-back, with a poisoned batch-0 replay asserted
+    // inside the query.
+    "ext_stream_counts" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamExtractCounts(s, dir)),
+
     "ext_media_refs" -> ((s, dir) => {
       import s.implicits._
       extractedSpans(s, dir).filter($"kind" === "figure")
@@ -574,6 +581,17 @@ object SparkEntry {
         |  md5(string_agg(kind || '|' || text || '|' || media_ref || '|' || ord,
         |                 chr(1) ORDER BY ord)) AS digest
         |FROM spans GROUP BY doc_id""".stripMargin,
+
+    "ext_stream_counts" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT printf('d%010d', doc_id) AS doc_id,
+        |       (1 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_spans
+        |FROM w""".stripMargin,
 
     "ext_headings" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,

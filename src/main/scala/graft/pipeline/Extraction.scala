@@ -91,6 +91,51 @@ object Extraction {
     * kernel — a second time. At 100 TB that double scan is the
     * difference between one pass and two.
     */
+  /** Hard ceiling on keys the boundary sketch collects to the driver —
+    * independent of the input split count. Spark's own RangePartitioner
+    * applies the same discipline (`sampleSizePerPartition` against a
+    * total budget); without it, ~800k splits of a 100 TB input × 128
+    * keys each would put ~100M tuples (multi-GB) on the driver.
+    */
+  val SampleBudget = 100000
+  /** Second-level reduction width when split count × quota would still
+    * exceed the budget (quota already floored at its minimum).
+    */
+  val SampleGroups = 64
+  /** Per-partition sample floor: even at extreme split counts every
+    * split contributes a few keys so no region is invisible to the
+    * sketch.
+    */
+  val MinQuota = 8
+
+  /** Bounded boundary sample: per-partition reservoir with quota
+    * max(MinQuota, budget/numPartitions); when the floor makes the
+    * first-level total exceed 2×budget (split count > budget/MinQuota·2),
+    * a narrow coalesce + second reservoir reduces it below the budget
+    * BEFORE the collect. Driver receives ≤ max(2·budget,
+    * SampleGroups·MinQuota) keys, ever. A reservoir-of-reservoirs is not
+    * an exactly uniform sample, but boundaries only need approximate
+    * quantiles — placement stays EXACT either way (buckets are computed
+    * per row; boundary quality only affects balance).
+    */
+  def sampleKeys(docs: Dataset[Doc], saltBuckets: Int,
+                 budget: Int = SampleBudget): Array[RangeRouter.Key] = {
+    import docs.sparkSession.implicits._
+    val numParts = math.max(1, docs.rdd.getNumPartitions)
+    val quota = math.max(MinQuota, budget / numParts)
+    val firstLevel = docs.mapPartitions { it =>
+      RangeRouter.reservoir(
+        it.map(d => RangeRouter.key(d.doc_id, saltBuckets)), quota)
+    }
+    if (numParts.toLong * quota <= 2L * budget) firstLevel.collect()
+    else {
+      val groupQuota = math.max(MinQuota, budget / SampleGroups)
+      firstLevel.coalesce(SampleGroups)
+        .mapPartitions(it => RangeRouter.reservoir(it, groupQuota))
+        .collect()
+    }
+  }
+
   def pipeline(docs: Dataset[Doc], shufflePartitions: Int = 0,
                saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
@@ -98,10 +143,9 @@ object Extraction {
     val n = if (shufflePartitions > 0) shufflePartitions
             else spark.sessionState.conf.numShufflePartitions
     implicit val outEnc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
-    // narrow key-only sketch pass: derivation runs, kernel does NOT
-    val keys = docs.mapPartitions { it =>
-      RangeRouter.reservoir(it.map(d => RangeRouter.key(d.doc_id, saltBuckets)))
-    }.collect()
+    // narrow key-only sketch pass: derivation runs, kernel does NOT;
+    // driver collect bounded by SampleBudget regardless of split count
+    val keys = sampleKeys(docs, saltBuckets)
     val bounds = RangeRouter.boundaries(keys, n)
     val tokens = RangeRouter.hashTokens(n)
     val bBounds = spark.sparkContext.broadcast(bounds)

@@ -228,6 +228,159 @@ object TableIO {
       .as[ExtractedRow]
   }
 
+  // ------------------------------------------------------------------
+  // Compaction + snapshot expiry (the Iceberg rewrite_data_files /
+  // expire_snapshots analog). Streaming commits accumulate
+  // data/batch=<id>/ dirs forever; compact() rewrites all committed
+  // batches into one bucket-clustered snapshot under compacted/snap-<s>/
+  // and journals which batches it superseded. Old batch data and
+  // manifests stay on disk so readers can TIME TRAVEL to any
+  // pre-compaction snapshot, until expireSnapshots() physically removes
+  // superseded state (after which, exactly like Iceberg's
+  // expire_snapshots, time travel before the compaction is gone).
+  // ------------------------------------------------------------------
+
+  final case class Compaction(snapshot: Long, supersededBatches: Seq[Long])
+
+  private def compactionPath(outDir: String, snapshot: Long): Path =
+    manifestDir(outDir).resolve(s"compaction-$snapshot.json")
+  private val BatchesRe = "\"superseded\":\\[([^\\]]*)\\]".r
+
+  def compactions(outDir: String): Seq[Compaction] =
+    listNames(manifestDir(outDir), "compaction-", ".json").map { name =>
+      val snap = name.stripPrefix("compaction-").stripSuffix(".json").toLong
+      val s = Files.readString(manifestDir(outDir).resolve(name))
+      val batches = BatchesRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      Compaction(snap, batches)
+    }.sortBy(_.snapshot)
+
+  private def compactedDir(outDir: String, snapshot: Long): Path =
+    Paths.get(outDir, "compacted", s"snap-$snapshot")
+
+  /** Rewrite every currently-visible row (latest compaction, if any, plus
+    * all non-superseded batches) into ONE bucket-clustered layout under a
+    * new snapshot id. Readers observe identical rows before and after;
+    * the data-file count drops from O(batches × buckets) to O(buckets).
+    * Returns the new snapshot id.
+    */
+  def compact(spark: SparkSession, outDir: String): Long = {
+    require(committedBatches(outDir).nonEmpty || compactions(outDir).nonEmpty,
+      s"nothing to compact under $outDir")
+    val snapshot = currentSnapshot(outDir) + 1
+    val rows = readTable(spark, outDir)
+    rows.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(compactedDir(outDir, snapshot).toString)
+    // journal AFTER the data lands: the compaction becomes visible
+    // atomically with this manifest write
+    val superseded = committedBatches(outDir).toSeq.sorted
+    writeAtomic(compactionPath(outDir, snapshot),
+      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+      superseded.mkString("\"superseded\":[", ",", "]}"))
+    writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
+      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+      s""""compacted_batches":${superseded.length}}""")
+    snapshot
+  }
+
+  /** Table state as of `asOfSnapshot`: the latest compaction at or before
+    * it (if any) plus every committed batch it did not supersede. Before
+    * any compaction this is exactly [[readCommittedBatches]].
+    */
+  def readTable(spark: SparkSession, outDir: String,
+                asOfSnapshot: Long = Long.MaxValue): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    val comp = compactions(outDir).filter(_.snapshot <= asOfSnapshot).lastOption
+    comp match {
+      case None => readCommittedBatches(spark, outDir)
+      case Some(c) =>
+        val live = committedBatches(outDir).diff(c.supersededBatches.toSet)
+        val compacted = spark.read
+          .schema(org.apache.spark.sql.Encoders.product[ExtractedRow].schema)
+          .option("basePath", compactedDir(outDir, c.snapshot).toString)
+          .parquet(compactedDir(outDir, c.snapshot).toString)
+          .select($"doc_id", $"spans", $"markdown",
+            $"bucket".cast("int").as("bucket"),
+            $"span_count", $"bytes", $"checksum")
+          .as[ExtractedRow]
+        if (live.isEmpty) compacted
+        else compacted.unionByName(
+          spark.read.option("basePath", s"$outDir/data")
+            .parquet(live.toSeq.sorted.map(b => s"$outDir/data/batch=$b"): _*)
+            .select($"doc_id", $"spans", $"markdown",
+              $"bucket".cast("int").as("bucket"),
+              $"span_count", $"bytes", $"checksum")
+            .as[ExtractedRow])
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+
+  /** Physically remove state superseded by the LATEST compaction: its
+    * superseded batch data dirs + batch manifests, and any OLDER
+    * compacted snapshots + their journals. Time travel to snapshots
+    * before the latest compaction is no longer possible afterwards —
+    * the expire_snapshots contract. Returns the number of batch dirs +
+    * old snapshots removed. No-op (0) before any compaction.
+    */
+  def expireSnapshots(outDir: String): Int = {
+    val comps = compactions(outDir)
+    if (comps.isEmpty) return 0
+    val latest = comps.last
+    var removed = 0
+    latest.supersededBatches.foreach { b =>
+      val dataDir = Paths.get(outDir, "data", s"batch=$b")
+      val m = manifestDir(outDir).resolve(s"batch-$b.json")
+      if (Files.exists(dataDir) || Files.exists(m)) removed += 1
+      deleteRecursively(dataDir)
+      Files.deleteIfExists(m)
+    }
+    comps.dropRight(1).foreach { c =>
+      deleteRecursively(compactedDir(outDir, c.snapshot))
+      Files.deleteIfExists(compactionPath(outDir, c.snapshot))
+      removed += 1
+    }
+    removed
+  }
+
+  /** All data-file paths currently visible through [[readTable]] — used
+    * by tests to assert the compaction file-count drop.
+    */
+  def visibleDataFiles(outDir: String): Seq[String] = {
+    val comp = compactions(outDir).lastOption
+    val batchFiles = {
+      val live = comp match {
+        case None => committedBatches(outDir)
+        case Some(c) => committedBatches(outDir).diff(c.supersededBatches.toSet)
+      }
+      live.toSeq.sorted.flatMap { b =>
+        val root = Paths.get(outDir, "data", s"batch=$b")
+        if (!Files.exists(root)) Seq.empty
+        else Using.resource(Files.walk(root)) { st =>
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(_.toString).toSeq
+        }
+      }
+    }
+    val compFiles = comp.toSeq.flatMap { c =>
+      val root = compactedDir(outDir, c.snapshot)
+      if (!Files.exists(root)) Seq.empty
+      else Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq
+      }
+    }
+    batchFiles ++ compFiles
+  }
+
   /** Read back only manifest-committed data, as of `asOfSnapshot`
     * (default: latest). The reader consumes the manifests' FILE LISTS —
     * uncommitted bucket dirs, partial writes, and buckets committed after

@@ -57,13 +57,14 @@ object StreamingExtract {
     * bucket overwrite + the checkpointed source offsets.
     */
   def extractStream(spark: SparkSession, srcDir: String, outDir: String,
-                    checkpoint: String): StreamingQuery = {
+                    checkpoint: String, maxFilesPerTrigger: Int = 4,
+                    availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[graft.schema.Doc].schema
     val docs = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "4").parquet(srcDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(srcDir)
       .as[graft.schema.Doc]
-    graft.pipeline.Extraction.extractRows(docs, buckets = 16)
+    val writer = graft.pipeline.Extraction.extractRows(docs, buckets = 16)
       .writeStream
       .foreachBatch {
         (batch: Dataset[graft.pipeline.Extraction.ExtractedRow], id: Long) =>
@@ -72,7 +73,39 @@ object StreamingExtract {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .start()
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Driver query for the continuous DOCUMENT-ingestion path end-to-end
+    * (the ev_stream_* queries cover the events pipeline; this one puts
+    * extractStream → appendBatchIdempotent → readCommittedBatches under
+    * the hash gate). The derived corpus is staged as 3 in-order files →
+    * 3 real micro-batches through the SAME kernel as the batch pipeline,
+    * each committed idempotently. Replay idempotency is asserted INSIDE
+    * the query: batch 0 is re-committed with poisoned (empty) content —
+    * the guard must detect the existing manifest and no-op; if it
+    * overwrote, batch 0's docs would vanish and the oracle hash-fails.
+    * (Ref analog: idempotent finalize, server/src/stream.rs:287-355.)
+    */
+  def streamExtractCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.corpus.CorpusDerive.derive(spark, sfDir)
+    val df = docs.toDF()
+    val part = expr("CAST(substring(doc_id, 2) AS BIGINT) % 3")
+    val src = stageOrderedParts(spark, (0 until 3).map(i => df.filter(part === i)))
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-ext").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ext-ck").toString
+    val q = extractStream(spark, src, out, ckpt,
+      maxFilesPerTrigger = 1, availableNow = true)
+    q.awaitTermination()
+    val poison = graft.pipeline.Extraction.extractRows(
+      docs.filter(lit(false)), buckets = 16)
+    val replayed = graft.pipeline.TableIO.appendBatchIdempotent(poison, out, 0L)
+    require(!replayed, "batch 0 replay must be detected as already committed")
+    graft.pipeline.TableIO.readCommittedBatches(spark, out)
+      .select($"doc_id", $"span_count".cast("long").as("n_spans"))
   }
 
   /** Stage each frame as one parquet file with strictly increasing
@@ -198,8 +231,21 @@ object StreamingExtract {
     */
   def streamLateReconcileQuery(spark: SparkSession, events: DataFrame): DataFrame = {
     val streamed = runUpdateWindowStream(spark, stageLateArrival(spark, events))
-    // flush_remaining: recompute affected windows from the source
-    val truth = eventWindowAgg(events)
+    // flush_remaining touches ONLY the missed tail, like the reference's
+    // (server/stream.rs:261-285): the watermark can only have corrupted
+    // windows that received late rows, so the repair recompute is
+    // restricted to windows PRESENT IN THE LATE BATCH — a semi-join
+    // window filter on the recompute's scan instead of re-aggregating the
+    // entire source history.
+    val winStart = unix_micros(date_trunc("hour", col("ts").cast("timestamp_ltz")))
+    val lateGate = graft.functions.Hashing.md5iCol(
+      concat(lit("late|"), col("event_id").cast("string"))) % 10L
+    val lateWindows = events.filter(lateGate === 0L)
+      .select(col("event_type"), winStart.as("win_us")).distinct()
+    val affected = events.withColumn("win_us", winStart)
+      .join(broadcast(lateWindows), Seq("event_type", "win_us"), "left_semi")
+      .drop("win_us")
+    val truth = eventWindowAgg(affected)
     val keys = Seq("event_type", "win_us")
     val corrections = truth.join(streamed,
       keys ++ Seq("n", "sum_c"), "left_anti")

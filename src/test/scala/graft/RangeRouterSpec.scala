@@ -47,6 +47,30 @@ class RangeRouterSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleKeys: driver collect bounded at any split count; boundaries stay balanced") {
+    import spark.implicits._
+    val docs = CorpusDerive.derive(spark, "/root/testdata/sf0.001")
+      .repartition(200) // many small splits — the 100×-scale shape
+    // budget 100 with 200 partitions forces the second-level reduction
+    val tight = Extraction.sampleKeys(docs, saltBuckets = 64, budget = 100)
+    assert(tight.length <= math.max(2 * 100, Extraction.SampleGroups * Extraction.MinQuota),
+      s"collected ${tight.length}")
+    assert(tight.nonEmpty)
+    // budget 1000: first-level path, still bounded by 2×budget
+    val loose = Extraction.sampleKeys(docs, saltBuckets = 64, budget = 1000)
+    assert(loose.length <= 2 * 1000, s"collected ${loose.length}")
+    // boundary quality from the REDUCED sample: route every doc and check
+    // no range bucket exceeds 4× the mean load (approximate quantiles are
+    // fine; placement is exact regardless)
+    val n = 16
+    val bounds = RangeRouter.boundaries(tight, n)
+    val ids = docs.map(_.doc_id).collect()
+    val sizes = ids.groupBy(id => RangeRouter.bucket(bounds, RangeRouter.key(id, 64)))
+      .values.map(_.length)
+    val mean = ids.length.toDouble / n
+    assert(sizes.max <= 4 * mean, s"max bucket ${sizes.max} vs mean $mean")
+  }
+
   test("pipeline output == plain kernel output (router is placement-only)") {
     import spark.implicits._
     val docs = CorpusDerive.derive(spark, "/root/testdata/sf0.001")

@@ -123,6 +123,50 @@ class ResumeSpec extends AnyFunSuite {
     assert(TableIO.readCommitted(spark, out).schema.fieldNames.contains("doc_id"))
   }
 
+  test("compaction: identical rows, fewer files, time travel; expiry drops superseded state") {
+    import spark.implicits._
+    val out = tmpDir()
+    // three streaming micro-batches (split by doc_id mod 3)
+    val all = rows
+    (0 until 3).foreach { i =>
+      val part = all.filter(r =>
+        java.lang.Long.parseLong(r.doc_id.stripPrefix("d")) % 3 == i)
+      assert(TableIO.appendBatchIdempotent(part, out, i.toLong))
+    }
+    val before = TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    val filesBefore = TableIO.visibleDataFiles(out).size
+    assert(before.nonEmpty && filesBefore >= 3)
+
+    val snap = TableIO.compact(spark, out)
+    // equality after compaction
+    val after = TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    assert(after == before, "compaction changed visible rows")
+    // file-count drop: O(batches×buckets) → O(buckets)
+    val filesAfter = TableIO.visibleDataFiles(out).size
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // time travel to the pre-compaction snapshot still sees batch layout
+    val travel = TableIO.readTable(spark, out, asOfSnapshot = snap - 1)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    assert(travel == before)
+
+    // a post-compaction batch stays visible alongside the compacted base
+    val extra = all.filter(r =>
+      java.lang.Long.parseLong(r.doc_id.stripPrefix("d")) % 3 == 0)
+    assert(TableIO.appendBatchIdempotent(extra, out, 99L))
+    val withExtra = TableIO.readTable(spark, out).count()
+    assert(withExtra == before.size + extra.count())
+
+    // expiry removes superseded batch dirs; visible rows unchanged
+    val removed = TableIO.expireSnapshots(out)
+    assert(removed >= 3)
+    (0 until 3).foreach { i =>
+      assert(!Files.exists(Path.of(out, "data", s"batch=$i")), s"batch $i survived expiry")
+    }
+    assert(TableIO.readTable(spark, out).count() == withExtra)
+  }
+
   test("manifest stats: doc/span counts and checksum match recomputation") {
     import spark.implicits._
     val out = tmpDir()
