@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.Hashing
+import graft.vision.PixelKernel
+import graft.vision.PixelKernel.Rgb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The mm_pixels surface: REAL pixel decode → letterbox global view →
+  * tiles → normalization, driver-verified end-to-end.
+  *
+  * A deterministic 1-in-8 subset of the media items carries a rule-
+  * generated RGB image (pixel values are closed-form functions of
+  * (x, y, ref)), encoded as a REAL compressed PNG (zlib IDAT, all five
+  * row filters in rotation, true CRCs) executor-side, then run through
+  * the pixel pipeline the reference applies to every image
+  * (vision.prepare_inputs): decode → dynamic-ratio resize + tile crops
+  * (preprocess.rs:51-76) → letterboxed global view (model/mod.rs:
+  * 1718-1741) → (v/255−0.5)/0.5 CHW normalization (model/mod.rs:
+  * 1743-1761). Scaled geometry (16-px tiles/base vs the reference's 640)
+  * keeps the DuckDB replay tractable; every algorithm is the full-size
+  * one.
+  *
+  * The oracle replays EVERYTHING from the pixel rule: tile checksums in
+  * closed form, and the global view through the same fixed-point bicubic
+  * convolution (22-bit weights, per-pass clipping) using weight tables
+  * embedded into the SQL at build time from [[PixelKernel.computeCoeffs]]
+  * — the tables are shared spec constants; the decode, convolution,
+  * letterbox arithmetic, orderings and checksums are computed
+  * independently on each side.
+  *
+  * Scale shape: one narrow mapPartitions kernel per item — encode +
+  * decode + resample are per-row CPU work, no shuffle, no driver state.
+  */
+object PixelOps {
+
+  val TileSize = 16
+  val BaseSize = 16
+  /** 1-in-N media-item subset carrying pixel payloads. */
+  val SubsetMod = 8
+
+  def ratioW(ref: String): Int = (Hashing.md5i(s"prw|$ref") % 2L + 1L).toInt
+  def ratioH(ref: String): Int = (Hashing.md5i(s"prh|$ref") % 2L + 1L).toInt
+  def inSubset(ref: String): Boolean = Hashing.md5i(s"pxs|$ref") % SubsetMod == 0L
+
+  /** Closed-form rule pixels (x right, y down, interleaved RGB):
+    * r = (7x+13y+s) mod 256, g = (11x+3y+2s) mod 256, b = (x+y+3s) mod 256
+    * with s = md5i("px|ref") mod 251. Linear in (x, y) so the oracle can
+    * generate any crop without materializing images.
+    */
+  def rulePixels(ref: String, w: Int, h: Int): Rgb = {
+    val s = (Hashing.md5i(s"px|$ref") % 251L).toInt
+    val data = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        data(i) = ((7 * x + 13 * y + s) % 256).toByte
+        data(i + 1) = ((11 * x + 3 * y + 2 * s) % 256).toByte
+        data(i + 2) = ((x + y + 3 * s) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Rgb(w, h, data)
+  }
+
+  final case class PixelPart(media_ref: String, part: String, width: Long,
+                             height: Long, pix_fp: Long, norm_fp: Long)
+
+  /** Per-image pipeline: rule → PNG encode → REAL decode → ratio resize +
+    * tiles + global view → per-part pixel/normalized checksums.
+    */
+  def processRef(ref: String): Seq[PixelPart] = {
+    val rw = ratioW(ref); val rh = ratioH(ref)
+    val src = rulePixels(ref, TileSize * rw, TileSize * rh)
+    val png = PixelKernel.encodePng(src, y => y % 5)
+    val dec = PixelKernel.decodePng(png) // real inflate + unfilter
+    val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
+    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+  }
+
+  /** Fixed-point bicubic taps for every (in, out) size pair the pixel
+    * geometry can produce, as SQL VALUES rows (insz, outsz, oi, si, w) —
+    * nonzero weights only. Embedded into the DuckDB oracle at build time:
+    * the tables are shared spec constants (Pillow's quantized kernel);
+    * the convolution, clipping, letterbox and checksums are replayed
+    * independently.
+    */
+  def coeffSqlValues: String = {
+    val pairs = Seq((16, 8), (32, 16), (16, 16))
+    val rows = for {
+      (in, out) <- pairs
+      (tap, oi) <- PixelKernel.computeCoeffs(in, out).zipWithIndex.toSeq
+      (w, j) <- tap.weights.zipWithIndex.toSeq
+      if w != 0
+    } yield s"($in,$out,$oi,${tap.xmin + j},$w)"
+    rows.mkString(",")
+  }
+
+  /** Driver query: one row per (media item in subset, part). */
+  def pixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val refs = docs.select(explode(
+      when(col("doc_id") % 4 === 0,
+        array(concat(lit("img://"), id, lit("/0")),
+              concat(lit("img://"), id, lit("/1"))))
+        .when(col("doc_id") % 2 === 0,
+          array(concat(lit("img://"), id, lit("/0"))))
+        .otherwise(array().cast("array<string>"))).as("media_ref"))
+      .filter(Hashing.md5iCol(concat(lit("pxs|"), col("media_ref")))
+        % SubsetMod === 0L)
+    refs.as[String].mapPartitions(_.flatMap(processRef)).toDF()
+  }
+}
