@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       graft.functions.MinHashSigExpr.shinglesInfo,
       (children: Seq[Expression]) => graft.functions.ShinglesExpr(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_sketch"),
+      graft.functions.LshSketchExpr.info,
+      (children: Seq[Expression]) => graft.functions.LshSketchExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.TopKPerKeyPlans.TopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyPlans.TopKStrategy)
   }

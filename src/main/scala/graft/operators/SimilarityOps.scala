@@ -104,25 +104,10 @@ object SimilarityOps {
     * sketches land in the same ANN candidate bucket.
     */
   def lshSketch(spark: SparkSession, emb: DataFrame): DataFrame = {
-    import spark.implicits._
-    val coefs: Array[Array[Long]] =
-      Array.tabulate(Planes, 64)((p, d) => planeCoef(p, d))
-    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var sketch = 0L
-        var p = 0
-        while (p < Planes) {
-          var s = 0L
-          var d = 0
-          while (d < v.length) {
-            s += coefs(p)(d % 64) * math.floor(v(d).toDouble * 1000).toLong
-            d += 1
-          }
-          if (s > 0) sketch |= (1L << p)
-          p += 1
-        }
-        (id, sketch)
-      }.toDF("vec_id", "sketch")
+    graft.functions.LshSketchExpr.register(spark)
+    // native codegen'd expression — no typed-map encoder round trip; the
+    // sketch column is one static call inside the scan's generated code
+    emb.selectExpr("vec_id", "graft_lsh_sketch(embedding) AS sketch")
   }
 
   /** ANN via LSH buckets: candidate pairs share a sketch; verified with
