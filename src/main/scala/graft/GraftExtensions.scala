@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_lsh_sketch"),
       graft.functions.LshSketchExpr.info,
       (children: Seq[Expression]) => graft.functions.LshSketchExpr(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_md5i"),
+      graft.functions.Md5iExpr.info,
+      (children: Seq[Expression]) => graft.functions.Md5iExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.TopKPerKeyPlans.TopKRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyPlans.TopKStrategy)
   }

@@ -881,15 +881,15 @@ object SparkEntry {
          |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
          |      ELSE [array_to_string(ws, ' ')] END) AS shs
          |  FROM (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents)),
-         |inv AS (SELECT doc_id, source, unnest(shs) AS s FROM ds),
-         |dfc AS (SELECT source, s FROM inv GROUP BY source, s
+         |inv AS (SELECT doc_id, ${md5iSql("source || '|' || s")} AS k
+         |        FROM (SELECT doc_id, source, unnest(shs) AS s FROM ds)),
+         |dfc AS (SELECT k FROM inv GROUP BY k
          |        HAVING count(*) <= ${DedupOps.MaxDf}),
-         |kept AS (SELECT inv.doc_id, inv.source, inv.s
-         |         FROM inv JOIN dfc ON inv.source = dfc.source AND inv.s = dfc.s),
+         |kept AS (SELECT inv.doc_id, inv.k FROM inv JOIN dfc ON inv.k = dfc.k),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM kept a JOIN kept b
-         |    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id)
+         |    ON a.k = b.k AND a.doc_id < b.doc_id)
          |SELECT * FROM (
          |  SELECT doc_a, doc_b,
          |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,

@@ -51,9 +51,16 @@ object Hashing {
   def md5i(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
 
-  /** Column form of [[md5i]] — stays inside whole-stage codegen. */
+  /** Column form of [[md5i]] — the native [[Md5iExpr]] (one static call
+    * inside generated code). Value-identical to the SQL chain
+    * `conv(substring(md5(c),1,15),16,10)::long` it previously built, but
+    * skips materializing the 32-char hex string and the interpreted
+    * base-conversion — this column is on per-row hot paths (sampling
+    * gates, media metadata, fingerprints, stream repair gates).
+    */
   def md5iCol(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Md5iExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** DuckDB SQL snippet computing md5i over expression `e`. */
   def md5iSql(e: String): String =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -40,6 +40,46 @@ object MinHashNative {
     while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Static entry point: md5i(source|shingle) inverted-index keys for the
+    * doc's distinct shingles — the hash happens HERE, once per posting at
+    * sketch-build (cached) time, so the index exchange and self-join
+    * carry 8-byte longs with no per-branch rehash.
+    */
+  def shingleKeys(source: UTF8String, text: UTF8String): ArrayData = {
+    val src = source.toString
+    val sh = graft.operators.DedupOps.shingles(text.toString).distinct
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      out(i) = graft.functions.Hashing.md5i(src + "|" + sh(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleKeysExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_keys requires (STRING, STRING), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override def prettyName: String = "graft_shingle_keys"
+
+  override protected def nullSafeEval(src: Any, text: Any): Any =
+    MinHashNative.shingleKeys(src.asInstanceOf[UTF8String],
+      text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, t) => s"graft.functions.MinHashNative.shingleKeys($s, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleKeysExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
@@ -81,6 +121,7 @@ case class ShinglesExpr(child: Expression) extends UnaryExpression {
 object MinHashSigExpr {
   val info = new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig")
   val shinglesInfo = new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles")
+  val shingleKeysInfo = new ExpressionInfo(classOf[ShingleKeysExpr].getName, "graft_shingle_keys")
 
   /** Idempotent per-session registration of both expressions. */
   def register(spark: SparkSession): Unit = {
@@ -92,5 +133,10 @@ object MinHashSigExpr {
     if (!spark.sessionState.functionRegistry.functionExists(shid))
       spark.sessionState.functionRegistry.registerFunction(
         shid, shinglesInfo, (children: Seq[Expression]) => ShinglesExpr(children.head))
+    val skid = FunctionIdentifier("graft_shingle_keys")
+    if (!spark.sessionState.functionRegistry.functionExists(skid))
+      spark.sessionState.functionRegistry.registerFunction(
+        skid, shingleKeysInfo,
+        (children: Seq[Expression]) => ShingleKeysExpr(children(0), children(1)))
   }
 }

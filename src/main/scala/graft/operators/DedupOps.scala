@@ -204,18 +204,32 @@ object DedupOps {
                         maxDf: Int = MaxDf): DataFrame = {
     import spark.implicits._
     graft.functions.MinHashSigExpr.register(spark)
+    // the inverted index is keyed by ONE 60-bit hash of (source, shingle)
+    // instead of the (source, string-shingle) pair: the index exchange
+    // and self-join carry 8-byte longs, not a string pair averaging ~25
+    // bytes plus two join columns. The hash is computed INSIDE the
+    // persisted sketch (graft_shingle_keys), so MD5 runs once per posting
+    // at cache-build time — the three downstream references (df count +
+    // both self-join sides) explode cached longs. Measured wall at sf0.1
+    // is parity with the string-keyed plan (QuickTime interleaved, ~3.5 s
+    // both); the payoff is the exchange payload (~4x smaller candidate
+    // shuffle), which is what dominates once the index no longer fits a
+    // single node. Hash collisions can only ADD candidate pairs, which
+    // exact-set verification then judges — and the oracle mirrors the
+    // same hash space, so parity is exact even in the astronomically-
+    // unlikely collision case.
     val ds = persistSlot("ngram",
-      docs.selectExpr("doc_id", "source", "graft_shingles(text) AS sh"))
-    val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
+      docs.selectExpr("doc_id", "graft_shingles(text) AS sh",
+        "graft_shingle_keys(source, text) AS ks"))
+    val inv = ds.select($"doc_id", explode($"ks").as("k"))
     // viral shingles are FEW by construction (each needs > maxDf docs),
     // so prune with a broadcastable anti-join against that small side
     // rather than an equi-join against the full distinct-shingle set
-    val viral = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select("source", "s")
-    val kept = inv.join(viral, Seq("source", "s"), "left_anti")
+    val viral = inv.groupBy($"k").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select("k")
+    val kept = inv.join(viral, Seq("k"), "left_anti")
     val cand = kept.as("a").join(kept.as("b"),
-        $"a.s" === $"b.s" && $"a.source" === $"b.source" &&
-          $"a.doc_id" < $"b.doc_id")
+        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     verifyJaccard(spark, cand, ds.select($"doc_id", $"sh".as("shingles")),

@@ -118,6 +118,29 @@ class PixelSpec extends AnyFunSuite {
     assert(PixelKernel.pixelChecksum(twoPx) != PixelKernel.normChecksum(twoPx))
   }
 
+  test("kernel is size-generic: reference 640-px geometry end-to-end") {
+    // the mm_pixels query runs 16-px geometry for oracle tractability;
+    // the kernel itself must handle the reference's real sizes
+    // (preprocess.rs image_size=640, model base_size=640). One 1280x640
+    // image (ratio 2x1): encode->decode round trip, 2 tiles + thumbnail
+    // path shape, letterboxed global view with exact gray bands.
+    val img = ruleImg("img://full/0", 1280, 640)
+    val dec = PixelKernel.decodePng(PixelKernel.encodePng(img))
+    assert(dec.data.sameElements(img.data))
+    val tiles = PixelKernel.cropTiles(PixelKernel.resizeBicubic(dec, 1280, 640), 640)
+    assert(tiles.length == 2 && tiles.forall(t => t.w == 640 && t.h == 640))
+    val gv = PixelKernel.buildGlobalView(dec, 640)
+    assert(gv.w == 640 && gv.h == 640)
+    // scale 0.5 -> new 640x320, yoff = 160: rows 0..159 and 480..639 gray
+    for (y <- Seq(0, 100, 159, 480, 600, 639); x <- Seq(0, 320, 639))
+      assert((gv.data((y * 640 + x) * 3) & 0xff) == 127, s"($x,$y)")
+    // pasted band is the direct 640x320 bicubic downscale
+    val resized = PixelKernel.resizeBicubic(dec, 640, 320)
+    for (y <- Seq(160, 300, 479); x <- Seq(0, 111, 639); c <- 0 until 3)
+      assert(gv.data((y * 640 + x) * 3 + c) ==
+        resized.data(((y - 160) * 640 + x) * 3 + c), s"($x,$y,$c)")
+  }
+
   test("processRef: rw*rh tiles + global, all 16x16, deterministic") {
     val ref = "img://100/0"
     val parts = PixelOps.processRef(ref)

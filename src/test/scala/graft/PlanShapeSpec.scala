@@ -56,6 +56,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_discount)"), p)
   }
 
+  test("mm_pixels: narrow per-row pixel kernel, zero exchanges") {
+    val p = plan("mm_pixels")
+    assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("|"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "pixel item derivation must read only doc_id")
+  }
+
+  test("mm_data_url: narrow decode, zero exchanges, codegen'd unbase64") {
+    val p = plan("mm_data_url")
+    assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("|"))
+    // the accept/reject + unbase64 projection runs inside a codegen stage
+    // ("*(n)" spans); only the header-parse kernel is object code
+    assert(p.contains("*(") && p.contains("unbase64"))
+  }
+
+  test("tok_roundtrip / tok_dict: one broadcast vocab, no data shuffle") {
+    for (q <- Seq("tok_roundtrip", "tok_dict")) {
+      val p = plan(q)
+      // vocab rides a Spark broadcast VARIABLE (bounded k=16 driver
+      // collect), not a join — the doc pass itself must be exchange-free
+      assert(!p.contains("Exchange"), s"$q: ${p.linesIterator.take(3).mkString("|")}")
+    }
+  }
+
+  test("dedup sketch passes ride native expressions (no typed-map encoders)") {
+    // the sketch projections must not contain DeserializeToObject /
+    // SerializeFromObject pairs (the encoder round trip the native
+    // expressions deleted)
+    graft.functions.MinHashSigExpr.register(spark)
+    graft.functions.LshSketchExpr.register(spark)
+    val sk = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "graft_minhash_sig(text) AS sig",
+        "graft_shingles(text) AS sh")
+      .queryExecution.executedPlan.toString
+    assert(!sk.contains("DeserializeToObject") && sk.contains("*("), sk)
+    val lsh = graft.operators.SimilarityOps.lshSketch(spark,
+        spark.read.parquet(s"$sf/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("DeserializeToObject") && lsh.contains("*("), lsh)
+  }
+
   test("extraction pipeline: single exchange (the explicit rebalance)") {
     import spark.implicits._
     val docs = graft.corpus.CorpusDerive.derive(spark, sf)

@@ -22,7 +22,51 @@ object QuickTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "x_ngram_str") { (s, dir) =>
+          // string-keyed ngram variant (pre-round-3 shape) for A/B
+          import s.implicits._
+          import org.apache.spark.sql.functions._
+          graft.functions.MinHashSigExpr.register(s)
+          val ds = s.read.parquet(s"$dir/documents.parquet")
+            .selectExpr("doc_id", "source", "graft_shingles(text) AS sh")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
+          val viral = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
+            .filter($"df" > graft.operators.DedupOps.MaxDf).select("source", "s")
+          val kept = inv.join(viral, Seq("source", "s"), "left_anti")
+          val cand = kept.as("a").join(kept.as("b"),
+              $"a.s" === $"b.s" && $"a.source" === $"b.source" &&
+                $"a.doc_id" < $"b.doc_id")
+            .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+            .distinct()
+          val sides = cand.select($"doc_a", $"doc_b",
+            explode(array($"doc_a", $"doc_b")).as("doc_id"))
+          sides.join(ds.select($"doc_id", $"sh"), "doc_id")
+            .groupBy($"doc_a", $"doc_b")
+            .agg(first(when($"doc_id" === $"doc_a", $"sh"), ignoreNulls = true).as("sh_a"),
+                 first(when($"doc_id" === $"doc_b", $"sh"), ignoreNulls = true).as("sh_b"))
+            .select($"doc_a", $"doc_b",
+              size(array_intersect($"sh_a", $"sh_b")).cast("long").as("jacc_i"),
+              size(array_union($"sh_a", $"sh_b")).cast("long").as("jacc_u"))
+            .filter($"jacc_i" * 10 >= $"jacc_u" * 3)
+        } else if (name == "x_ngram_cand") { (s, dir) =>
+          // candidate-generation subplan of dedup_ngram, for profiling
+          import s.implicits._
+          import org.apache.spark.sql.functions._
+          graft.functions.MinHashSigExpr.register(s)
+          val ds = s.read.parquet(s"$dir/documents.parquet")
+            .selectExpr("doc_id", "source", "graft_shingles(text) AS sh")
+          val inv = ds.select($"doc_id", $"source", explode($"sh").as("s"))
+          val viral = inv.groupBy($"source", $"s").agg(count(lit(1)).as("df"))
+            .filter($"df" > graft.operators.DedupOps.MaxDf).select("source", "s")
+          val kept = inv.join(viral, Seq("source", "s"), "left_anti")
+          kept.as("a").join(kept.as("b"),
+              $"a.s" === $"b.s" && $"a.source" === $"b.source" &&
+                $"a.doc_id" < $"b.doc_id")
+            .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+            .distinct()
+        } else SparkEntry.queries(name)
       val walls = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
