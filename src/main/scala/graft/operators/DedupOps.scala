@@ -189,48 +189,53 @@ object DedupOps {
 
   /** n-gram Jaccard via an INVERTED SHINGLE INDEX with a df cap: explode
     * distinct shingles, drop shingles with per-source document frequency
-    * above `maxDf` (viral boilerplate — the skew guard), self-join on
-    * (source, shingle) so only pairs sharing a SELECTIVE shingle are
-    * generated, then verify each candidate pair against the FULL shingle
-    * sets: |A∩B| / |A∪B| exact, threshold J ≥ 0.3.
+    * above `maxDf` (viral boilerplate — the skew guard), expand candidate
+    * pairs inside each surviving index bucket, then verify each candidate
+    * pair against the FULL shingle sets: |A∩B| / |A∪B| exact, threshold
+    * J ≥ 0.3.
     *
     * This is the scale-correct shape: a block cross-join is O(block²)
-    * regardless of similarity; the capped index join is O(Σ_s df(s)²) with
+    * regardless of similarity; the capped index is O(Σ_s df(s)²) with
     * df(s) ≤ maxDf — near-linear on natural corpora, bounded even on
     * boilerplate floods. Verification from full sets keeps every emitted
     * Jaccard value exact (the cap only prunes candidate discovery).
+    *
+    * Plan shape, round 3: the index is keyed by ONE 60-bit hash of
+    * (source, shingle) computed INSIDE the persisted sketch
+    * (graft_shingle_keys — MD5 runs once per posting at cache-build time),
+    * so every downstream stage carries 8-byte longs, not ~25-byte string
+    * pairs. Candidates come from a single groupBy(k) with the
+    * [[graft.functions.BoundedCollectAgg]] bounded member-collect —
+    * buckets whose df exceeds maxDf evaluate to NULL inside the aggregate
+    * (exact viral semantics, buffers bounded at maxDf longs even under a
+    * flood) — then an in-bucket C(n,2) expansion over the sorted member
+    * array. That is ONE exchange of the index where the previous
+    * count + anti-join + self-join formulation paid three; measured
+    * 3.4 → 2.7 s at sf0.1 (QuickTime interleaved A/B vs both prior
+    * shapes). Hash collisions can only ADD candidate pairs, which
+    * exact-set verification then judges — and the oracle mirrors the same
+    * hash space, so parity is exact even in the astronomically-unlikely
+    * collision case.
     */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
                         maxDf: Int = MaxDf): DataFrame = {
     import spark.implicits._
     graft.functions.MinHashSigExpr.register(spark)
-    // the inverted index is keyed by ONE 60-bit hash of (source, shingle)
-    // instead of the (source, string-shingle) pair: the index exchange
-    // and self-join carry 8-byte longs, not a string pair averaging ~25
-    // bytes plus two join columns. The hash is computed INSIDE the
-    // persisted sketch (graft_shingle_keys), so MD5 runs once per posting
-    // at cache-build time — the three downstream references (df count +
-    // both self-join sides) explode cached longs. Measured wall at sf0.1
-    // is parity with the string-keyed plan (QuickTime interleaved, ~3.5 s
-    // both); the payoff is the exchange payload (~4x smaller candidate
-    // shuffle), which is what dominates once the index no longer fits a
-    // single node. Hash collisions can only ADD candidate pairs, which
-    // exact-set verification then judges — and the oracle mirrors the
-    // same hash space, so parity is exact even in the astronomically-
-    // unlikely collision case.
     val ds = persistSlot("ngram",
       docs.selectExpr("doc_id", "graft_shingles(text) AS sh",
         "graft_shingle_keys(source, text) AS ks"))
     val inv = ds.select($"doc_id", explode($"ks").as("k"))
-    // viral shingles are FEW by construction (each needs > maxDf docs),
-    // so prune with a broadcastable anti-join against that small side
-    // rather than an equi-join against the full distinct-shingle set
-    val viral = inv.groupBy($"k").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select("k")
-    val kept = inv.join(viral, Seq("k"), "left_anti")
-    val cand = kept.as("a").join(kept.as("b"),
-        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // ids is sorted ascending by the aggregate, so ids[i] < ids[j] for
+    // i < j — pair structs come out already in (doc_a < doc_b) order
+    val cand = inv.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.column($"doc_id", maxDf).as("ids"))
+      .filter($"ids".isNotNull && size($"ids") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2), i ->
+          |  transform(sequence(i+1, size(ids)-1), j ->
+          |    struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
     verifyJaccard(spark, cand, ds.select($"doc_id", $"sh".as("shingles")),
       numerator = 10, denominator = 3)

@@ -113,6 +113,33 @@ class OpsSpec extends AnyFunSuite {
     assert(full == 6L)
   }
 
+  test("bounded collect: exact cap across partial merges; flood stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 unique ids under one key spread over 64 partitions: every
+    // partial buffer is under the cap, so overflow must fire at MERGE
+    // time, not update time — the subtle path
+    val wide = spark.range(0, 1000).repartition(64)
+      .select(lit(1L).as("k"), $"id")
+    val overCap = wide.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.column($"id", 999).as("ids"))
+      .select($"ids").as[Option[Seq[Long]]].head()
+    assert(overCap.isEmpty, "1000 members with cap 999 must overflow")
+    val atCap = wide.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.column($"id", 1000).as("ids"))
+      .select($"ids").as[Option[Seq[Long]]].head()
+    assert(atCap.contains((0L until 1000L).toSeq),
+      "cap == size must collect everything, sorted")
+    // ngram flood: 3000 identical docs -> every shingle df=3000 >> MaxDf,
+    // all buckets overflow to NULL inside the aggregate (no 3000-element
+    // buffer is ever kept), zero candidates, completes scan-shaped
+    val n = 3000L
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val flood = spark.range(1, n + 1)
+      .select($"id".as("doc_id"), lit("s1").as("source"), lit(text).as("text"))
+    assert(DedupOps.ngramJaccardPairs(spark, flood).count() == 0L)
+  }
+
   test("lsh sketch: identical vectors identical sketch, deterministic coef") {
     import spark.implicits._
     assert(SimilarityOps.planeCoef(0, 0) == Hashing.md5i("0|0") % 2001L - 1000L)
