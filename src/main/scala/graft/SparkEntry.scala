@@ -290,6 +290,12 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(s, t(s, dir, "embeddings"), nQueries = 8, k = 5)
         .withColumnRenamed("rank", "rnk")),
     "ann_lsh_sketch" -> ((s, dir) => SimilarityOps.lshSketch(s, t(s, dir, "embeddings"))),
+    // IVF coarse-quantizer scale path: 16 cells, one integer-exact Lloyd
+    // step, 4-cell probe funnel — the oracle replays build+probe+rank.
+    "ann_ivf" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(s, t(s, dir, "embeddings"), nCentroids = 16,
+        nProbe = 4, nQueries = 8, k = 5)
+        .withColumnRenamed("rank", "rnk")),
 
     // ---- deterministic sampling / dataset splits ----
     "sample_stratified" -> ((s, dir) =>
@@ -952,6 +958,53 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY (CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*nb)) DESC, neighbor_id) AS rnk
         |  FROM p)
+        |SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, dot, na, nb FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH nn AS (
+        |  SELECT vec_id, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |        FROM embeddings)),
+        |seeds AS (SELECT vec_id AS cell, q AS cv, nsq AS nc FROM nn WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT vec_id, q, cell FROM (
+        |    SELECT nn.vec_id, nn.q, s.cell,
+        |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |        nn.nsq - 2*list_sum(list_transform(generate_series(1, len(nn.q)), i -> nn.q[i]*s.cv[i]))::BIGINT + s.nc ASC,
+        |        s.cell ASC) AS rn
+        |    FROM nn CROSS JOIN seeds s) WHERE rn = 1),
+        |dimmean AS (
+        |  SELECT cell, d, CAST(floor(CAST(sum(v) AS DOUBLE)/count(*)) AS BIGINT) AS m
+        |  FROM (SELECT cell, unnest(generate_series(1, len(q))) AS d, unnest(q) AS v FROM a0)
+        |  GROUP BY cell, d),
+        |upd AS (
+        |  SELECT cell, cv, list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc FROM (
+        |    SELECT cell, list(m ORDER BY d) AS cv FROM dimmean GROUP BY cell)),
+        |cells AS (
+        |  SELECT vec_id, q, nsq, cell FROM (
+        |    SELECT nn.vec_id, nn.q, nn.nsq, u.cell,
+        |      row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+        |        nn.nsq - 2*list_sum(list_transform(generate_series(1, len(nn.q)), i -> nn.q[i]*u.cv[i]))::BIGINT + u.nc ASC,
+        |        u.cell ASC) AS rn
+        |    FROM nn CROSS JOIN upd u) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell, qv, na FROM (
+        |    SELECT s.vec_id AS query_id, u.cell, s.q AS qv, s.nsq AS na,
+        |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |        s.nsq - 2*list_sum(list_transform(generate_series(1, len(s.q)), i -> s.q[i]*u.cv[i]))::BIGINT + u.nc ASC,
+        |        u.cell ASC) AS rn
+        |    FROM (SELECT * FROM nn WHERE vec_id < 8) s CROSS JOIN upd u) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i]*c.q[i]))::BIGINT AS dot,
+        |    p.na, c.nsq AS nb
+        |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, dot, na, nb,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      (CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*nb)) DESC, neighbor_id) AS rnk
+        |  FROM cand)
         |SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, dot, na, nb FROM r WHERE rnk <= 5""".stripMargin,
 
     "ann_lsh_sketch" ->

@@ -61,12 +61,26 @@ object SimilarityOps {
         dot($"qv", $"q").as("dot"), $"na", $"nsq".as("nb"))
       .withColumn("cos",
         $"dot".cast("double") / sqrt($"na".cast("double") * $"nb"))
+    rankTopK(spark, pairs, k)
+  }
+
+  /** Distributed exact top-k finisher shared by the brute-force and IVF
+    * paths. `pairs` columns: (query_id, neighbor_id, dot, na, nb, cos).
+    * Per-partition bounded heaps cap each scan task's emission at
+    * nQueries×k rows; only that candidate superset crosses the wire into
+    * the final exact rank (a plain window here would funnel the full pair
+    * stream into nQueries reducer partitions).
+    */
+  private def rankTopK(spark: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     // candidate tuple: (query_id, neighbor_id, dot, na, nb, cos);
     // priority head = WORST retained candidate (lowest cos, then highest
     // neighbor id) so a better arrival evicts it in O(log k)
     val worstFirst: Ordering[(Long, Long, Long, Long, Long, Double)] =
       Ordering.by((c: (Long, Long, Long, Long, Long, Double)) => (-c._6, c._2))
-    val partial = pairs.as[(Long, Long, Long, Long, Long, Double)]
+    val partial = pairs
+      .select($"query_id", $"neighbor_id", $"dot", $"na", $"nb", $"cos")
+      .as[(Long, Long, Long, Long, Long, Double)]
       .mapPartitions { it =>
       val heaps = scala.collection.mutable.Map.empty[Long,
         scala.collection.mutable.PriorityQueue[(Long, Long, Long, Long, Long, Double)]]
@@ -108,6 +122,114 @@ object SimilarityOps {
     // native codegen'd expression — no typed-map encoder round trip; the
     // sketch column is one static call inside the scan's generated code
     emb.selectExpr("vec_id", "graft_lsh_sketch(embedding) AS sketch")
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) coarse quantizer — the second ANN scale path
+  // next to LSH. Cells are built with one deterministic, integer-exact
+  // Lloyd refinement; queries probe only the nProbe nearest cells.
+  // ------------------------------------------------------------------
+
+  /** Integer squared L2 distance ‖v − c‖² = nsqV − 2·v·c + nsqC. */
+  private def sqDist(v: Seq[Long], nsqV: Long, c: Array[Long], nsqC: Long): Long = {
+    var d = 0L; var i = 0
+    while (i < c.length) { d += v(i) * c(i); i += 1 }
+    nsqV - 2 * d + nsqC
+  }
+
+  /** Nearest centroid id by (squared distance asc, cell id asc). */
+  private def nearestCell(cents: Array[(Long, Array[Long], Long)],
+                          v: Seq[Long], nsqV: Long): Long = {
+    var best = Long.MaxValue; var bestId = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val (id, c, nc) = cents(i)
+      val d = sqDist(v, nsqV, c, nc)
+      if (d < best || (d == best && id < bestId)) { best = d; bestId = id }
+      i += 1
+    }
+    bestId
+  }
+
+  /** IVF ANN (Sivic & Zisserman '03; the FAISS IVF funnel): coarse-
+    * quantize the corpus into ≤ `nCentroids` cells, then answer each
+    * query with exact cosine top-k over only the `nProbe` nearest cells.
+    * At 10^12 vectors per-query work drops from a full scan to
+    * ≈ |corpus|·nProbe/nCentroids, and the index build is two narrow
+    * broadcast-assignment scans plus ONE map-side-combined
+    * (cell,dim)-keyed aggregate whose output is C·dims tiny rows — no
+    * corpus shuffle anywhere; the candidate stage is a broadcast join of
+    * the ≤ nQueries·nProbe probe rows against the cell-tagged scan,
+    * finished by the shared bounded-heap top-k.
+    *
+    * Build: seeds = the `nCentroids` lowest vec_ids (deterministic), one
+    * Lloyd step — assign to nearest seed by integer L2, recompute each
+    * nonempty cell's centroid as the per-dimension floor-mean
+    * (floor(Σq_d / n): exact in double since |Σq_d| < 2^52), reassign.
+    * Queries are drawn from the seed set (vec_id < nQueries).
+    *
+    * Determinism/portability: quantized integer vectors, integer
+    * distances with lower-cell-id tie-breaks, floor-double means — the
+    * DuckDB oracle replays build + probe + rank bit-for-bit. Recall vs
+    * brute force is partial by design (probed-cell funnel); dot/na/nb of
+    * every returned row are exact. Reference analog: the global-view +
+    * local-tile funnel of /root/reference/crates/core/src/vision/preprocess.rs:13-76
+    * (cheap coarse routing, exact work only inside selected regions).
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, nCentroids: Int,
+              nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries <= nCentroids,
+      "queries are drawn from the seed set: nQueries must be <= nCentroids")
+    import spark.implicits._
+    val q = quantized(emb).select($"vec_id", $"q", $"nsq")
+      .as[(Long, Seq[Long], Long)]
+    // bounded dictionary-scale collect: ≤ nCentroids quantized vectors
+    val seeds: Array[(Long, Array[Long], Long)] =
+      q.filter($"vec_id" < nCentroids).collect().sortBy(_._1)
+        .map { case (id, v, nsq) => (id, v.toArray, nsq) }
+    val dims = seeds.head._2.length
+    val bcSeeds = spark.sparkContext.broadcast(seeds)
+    val assigned0 = q.mapPartitions { it =>
+      val cents = bcSeeds.value
+      it.map { case (id, v, nsq) => (id, v, nsq, nearestCell(cents, v, nsq)) }
+    }
+    // Lloyd update: per-(cell, dim) sums with map-side combine; C·dims
+    // rows reach the driver (bounded by constants, not by corpus size)
+    val updated: Array[(Long, Array[Long], Long)] = assigned0
+      .toDF("vec_id", "q", "nsq", "cell")
+      .select($"cell", posexplode($"q"))
+      .groupBy($"cell", $"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (cell, rows) =>
+        val c = new Array[Long](dims)
+        rows.foreach { case (_, pos, s, n) =>
+          c(pos) = math.floor(s.toDouble / n).toLong
+        }
+        (cell, c, c.map(x => x * x).sum)
+      }
+    val bcUpd = spark.sparkContext.broadcast(updated)
+    val cells = q.mapPartitions { it =>
+      val cents = bcUpd.value
+      it.map { case (id, v, nsq) => (id, v, nsq, nearestCell(cents, v, nsq)) }
+    }.toDF("vec_id", "q", "nsq", "cell")
+    // probe list: per query, the nProbe nearest refined cells —
+    // driver-side over already-collected tiny state (queries ⊆ seeds)
+    val probes = seeds.filter(_._1 < nQueries).toSeq
+      .flatMap { case (qid, qv, na) =>
+        updated.map { case (cell, c, nc) => (cell, sqDist(qv, na, c, nc)) }
+          .sortBy { case (cell, d) => (d, cell) }.take(nProbe)
+          .map { case (cell, _) => (qid, cell, qv.toSeq, na) }
+      }
+    val probeDf = probes.toDF("query_id", "cell", "qv", "na")
+    val pairs = cells.join(broadcast(probeDf), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"q").as("dot"), $"na", $"nsq".as("nb"))
+      .withColumn("cos",
+        $"dot".cast("double") / sqrt($"na".cast("double") * $"nb"))
+    rankTopK(spark, pairs, k)
   }
 
   /** ANN via LSH buckets: candidate pairs share a sketch; verified with

@@ -84,6 +84,37 @@ class OpsSpec extends AnyFunSuite {
     assert(topk == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("ivf: planted twin found at rank 1; funnel deterministic; self excluded") {
+    import spark.implicits._
+    // three axis clusters in 4-d; vec 0 is the query, vec 6 its twin
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f, 0f, 0f), 0),
+      (1L, Array(0.00f, 1.00f, 0f, 0f), 0),
+      (2L, Array(0.00f, 0.00f, 1f, 0f), 0),
+      (3L, Array(0.95f, 0.05f, 0f, 0f), 0),
+      (4L, Array(0.05f, 0.95f, 0f, 0f), 0),
+      (5L, Array(0.00f, 0.05f, 1f, 0f), 0),
+      (6L, Array(0.99f, 0.01f, 0f, 0f), 0),  // near-twin of the query
+      (7L, Array(0.00f, 0.99f, 0f, 0f), 0),
+      (8L, Array(0.01f, 0.00f, 1f, 0f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val res = SimilarityOps.ivfTopK(spark, emb, nCentroids = 6, nProbe = 2,
+        nQueries = 1, k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.forall(_._1 == 0L))
+    assert(res.forall(_._2 != 0L), "self must be excluded")
+    assert(res.map(_._3).toSeq == Seq(1L, 2L), "ranks contiguous from 1")
+    // the twin lives in the query's own cell — always probed, rank 1
+    assert(res.head._2 == 6L)
+    // deterministic: a second full build+probe returns identical rows
+    val again = SimilarityOps.ivfTopK(spark, emb, nCentroids = 6, nProbe = 2,
+        nQueries = 1, k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.toSeq == again.toSeq)
+  }
+
   test("minhash flood: MaxBucket cap emits a linear star, one component") {
     import spark.implicits._
     val n = DedupOps.MaxBucket + 36

@@ -34,6 +34,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"))
   }
 
+  test("ann_ivf: broadcast probe join + ONE shuffle of heap-reduced partials") {
+    // building the plan runs the (bounded) index-build jobs; the PROBE
+    // plan itself must be: scan → broadcast probe join → heap partials →
+    // one exchange into the final exact rank — no corpus shuffle
+    val p = plan("ann_ivf")
+    assert(p.contains("BroadcastExchange"), p.linesIterator.take(3).mkString("|"))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("SortMergeJoin"), "corpus must never sort-merge")
+  }
+
   test("text analysis: narrow, exchange-free, column-pruned scan") {
     for (q <- Seq("ta_quality", "ta_langid", "ta_fingerprint")) {
       val p = plan(q)
