@@ -231,38 +231,86 @@ object TableIO {
   // ------------------------------------------------------------------
   // Compaction + snapshot expiry (the Iceberg rewrite_data_files /
   // expire_snapshots analog). Streaming commits accumulate
-  // data/batch=<id>/ dirs forever; compact() rewrites all committed
-  // batches into one bucket-clustered snapshot under compacted/snap-<s>/
-  // and journals which batches it superseded. Old batch data and
+  // data/batch=<id>/ dirs forever; compact() rewrites every visible row
+  // into one bucket-clustered snapshot under compacted/snap-<s>/, while
+  // compactSmall() binpacks ONLY the small-file tail (live batches under
+  // a byte threshold), leaving healthy batches and earlier snapshots in
+  // place — compactions compose via their journals. Old batch data and
   // manifests stay on disk so readers can TIME TRAVEL to any
   // pre-compaction snapshot, until expireSnapshots() physically removes
   // superseded state (after which, exactly like Iceberg's
   // expire_snapshots, time travel before the compaction is gone).
   // ------------------------------------------------------------------
 
-  final case class Compaction(snapshot: Long, supersededBatches: Seq[Long])
+  /** A compaction snapshot supersedes a set of batch ids and (for full
+    * rewrites) earlier compaction snapshots. Superseded state remains
+    * readable (time travel) until [[expireSnapshots]].
+    */
+  final case class Compaction(snapshot: Long, supersededBatches: Seq[Long],
+      supersededSnapshots: Seq[Long])
 
   private def compactionPath(outDir: String, snapshot: Long): Path =
     manifestDir(outDir).resolve(s"compaction-$snapshot.json")
   private val BatchesRe = "\"superseded\":\\[([^\\]]*)\\]".r
+  private val SnapsRe = "\"superseded_snapshots\":\\[([^\\]]*)\\]".r
 
-  def compactions(outDir: String): Seq[Compaction] =
-    listNames(manifestDir(outDir), "compaction-", ".json").map { name =>
+  private def longList(s: String, re: scala.util.matching.Regex): Option[Seq[Long]] =
+    re.findFirstMatchIn(s).map(_.group(1).split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+
+  def compactions(outDir: String): Seq[Compaction] = {
+    val raw = listNames(manifestDir(outDir), "compaction-", ".json").map { name =>
       val snap = name.stripPrefix("compaction-").stripSuffix(".json").toLong
       val s = Files.readString(manifestDir(outDir).resolve(name))
-      val batches = BatchesRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-        .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
-      Compaction(snap, batches)
-    }.sortBy(_.snapshot)
+      (snap, longList(s, BatchesRe).getOrElse(Seq.empty), longList(s, SnapsRe))
+    }.sortBy(_._1)
+    raw.map { case (snap, batches, snaps) =>
+      // legacy journals (pre-binpack) lack superseded_snapshots; their
+      // full-rewrite semantics superseded every earlier compaction
+      Compaction(snap, batches,
+        snaps.getOrElse(raw.map(_._1).filter(_ < snap)))
+    }
+  }
+
+  /** Compactions visible as of `asOf`: not superseded by a later
+    * compaction that is itself ≤ asOf.
+    */
+  def visibleCompactions(outDir: String,
+      asOf: Long = Long.MaxValue): Seq[Compaction] = {
+    val comps = compactions(outDir).filter(_.snapshot <= asOf)
+    val dead = comps.flatMap(_.supersededSnapshots).toSet
+    comps.filterNot(c => dead(c.snapshot))
+  }
+
+  /** Batch ids superseded by ANY compaction ≤ asOf — a batch rewritten by
+    * snapshot s stays dead even after s itself is rewritten (its rows
+    * live on in s's superseder).
+    */
+  private def deadBatches(outDir: String, asOf: Long = Long.MaxValue): Set[Long] =
+    compactions(outDir).filter(_.snapshot <= asOf)
+      .flatMap(_.supersededBatches).toSet
 
   private def compactedDir(outDir: String, snapshot: Long): Path =
     Paths.get(outDir, "compacted", s"snap-$snapshot")
 
-  /** Rewrite every currently-visible row (latest compaction, if any, plus
-    * all non-superseded batches) into ONE bucket-clustered layout under a
-    * new snapshot id. Readers observe identical rows before and after;
-    * the data-file count drops from O(batches × buckets) to O(buckets).
-    * Returns the new snapshot id.
+  private def writeCompaction(outDir: String, snapshot: Long,
+      batches: Seq[Long], snaps: Seq[Long]): Unit = {
+    // journal AFTER the data lands: the compaction becomes visible
+    // atomically with this manifest write
+    writeAtomic(compactionPath(outDir, snapshot),
+      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+      batches.sorted.mkString("\"superseded\":[", ",", "],") +
+      snaps.sorted.mkString("\"superseded_snapshots\":[", ",", "]}"))
+    writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
+      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
+      s""""compacted_batches":${batches.length}}""")
+  }
+
+  /** FULL rewrite: every currently-visible row (all visible compacted
+    * snapshots plus all live batches) lands in ONE bucket-clustered
+    * layout under a new snapshot id, superseding them all. Readers
+    * observe identical rows before and after; the data-file count drops
+    * from O(batches × buckets) to O(buckets). Returns the new snapshot.
     */
   def compact(spark: SparkSession, outDir: String): Long = {
     require(committedBatches(outDir).nonEmpty || compactions(outDir).nonEmpty,
@@ -273,47 +321,92 @@ object TableIO {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(compactedDir(outDir, snapshot).toString)
-    // journal AFTER the data lands: the compaction becomes visible
-    // atomically with this manifest write
-    val superseded = committedBatches(outDir).toSeq.sorted
-    writeAtomic(compactionPath(outDir, snapshot),
-      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
-      superseded.mkString("\"superseded\":[", ",", "]}"))
-    writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
-      s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
-      s""""compacted_batches":${superseded.length}}""")
+    val liveBatches = committedBatches(outDir).diff(deadBatches(outDir)).toSeq
+    writeCompaction(outDir, snapshot, liveBatches,
+      visibleCompactions(outDir).map(_.snapshot))
     snapshot
   }
 
-  /** Table state as of `asOfSnapshot`: the latest compaction at or before
-    * it (if any) plus every committed batch it did not supersede. Before
-    * any compaction this is exactly [[readCommittedBatches]].
+  private def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else Using.resource(Files.walk(p)) { st =>
+      st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+    }
+
+  /** BINPACK rewrite (the Iceberg `rewrite_data_files` binpack strategy):
+    * fold only live batches whose data is smaller than `smallBytes` into
+    * one bucket-clustered snapshot; batches at or above the threshold are
+    * left untouched — at 100 TB a compaction that rewrites healthy
+    * full-size files does quadratic lifetime IO, so only the small-file
+    * tail (streaming's many tiny commits) is rewritten. Big batches and
+    * earlier compacted snapshots stay in place and stay visible.
+    * Returns Some(snapshot) or None when fewer than two small batches
+    * exist (nothing worth folding — a no-op, not an error).
+    */
+  def compactSmall(spark: SparkSession, outDir: String,
+                   smallBytes: Long): Option[Long] = {
+    val live = committedBatches(outDir).diff(deadBatches(outDir)).toSeq.sorted
+    val small = live.filter(b =>
+      dirBytes(Paths.get(outDir, "data", s"batch=$b")) < smallBytes)
+    if (small.length < 2) return None
+    val snapshot = currentSnapshot(outDir) + 1
+    readBatchDirs(spark, outDir, small)
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(compactedDir(outDir, snapshot).toString)
+    writeCompaction(outDir, snapshot, small, Seq.empty)
+    Some(snapshot)
+  }
+
+  /** Live-batch rows read through explicit batch dirs. */
+  private def readBatchDirs(spark: SparkSession, outDir: String,
+      batches: Seq[Long]): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    // explicit schema: an empty micro-batch's dir has no footers to infer
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[ExtractedRow].schema
+        .add("batch", "long"))
+      .option("basePath", s"$outDir/data")
+      .parquet(batches.sorted.map(b => s"$outDir/data/batch=$b"): _*)
+      .select($"doc_id", $"spans", $"markdown",
+        $"bucket".cast("int").as("bucket"),
+        $"span_count", $"bytes", $"checksum")
+      .as[ExtractedRow]
+  }
+
+  private def readCompacted(spark: SparkSession, outDir: String,
+      snapshot: Long): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[ExtractedRow].schema)
+      .option("basePath", compactedDir(outDir, snapshot).toString)
+      .parquet(compactedDir(outDir, snapshot).toString)
+      .select($"doc_id", $"spans", $"markdown",
+        $"bucket".cast("int").as("bucket"),
+        $"span_count", $"bytes", $"checksum")
+      .as[ExtractedRow]
+  }
+
+  /** Table state as of `asOfSnapshot`: every visible compacted snapshot
+    * (one after a full [[compact]]; possibly several after [[compactSmall]]
+    * binpacks) plus every committed batch no compaction ≤ asOfSnapshot
+    * superseded. Before any compaction this is exactly
+    * [[readCommittedBatches]]. (Batch commits are snapshot-less: time
+    * travel is exact with respect to compactions, while batches committed
+    * after the requested snapshot remain visible — same contract as before.)
     */
   def readTable(spark: SparkSession, outDir: String,
                 asOfSnapshot: Long = Long.MaxValue): Dataset[ExtractedRow] = {
-    import spark.implicits._
-    val comp = compactions(outDir).filter(_.snapshot <= asOfSnapshot).lastOption
-    comp match {
-      case None => readCommittedBatches(spark, outDir)
-      case Some(c) =>
-        val live = committedBatches(outDir).diff(c.supersededBatches.toSet)
-        val compacted = spark.read
-          .schema(org.apache.spark.sql.Encoders.product[ExtractedRow].schema)
-          .option("basePath", compactedDir(outDir, c.snapshot).toString)
-          .parquet(compactedDir(outDir, c.snapshot).toString)
-          .select($"doc_id", $"spans", $"markdown",
-            $"bucket".cast("int").as("bucket"),
-            $"span_count", $"bytes", $"checksum")
-          .as[ExtractedRow]
-        if (live.isEmpty) compacted
-        else compacted.unionByName(
-          spark.read.option("basePath", s"$outDir/data")
-            .parquet(live.toSeq.sorted.map(b => s"$outDir/data/batch=$b"): _*)
-            .select($"doc_id", $"spans", $"markdown",
-              $"bucket".cast("int").as("bucket"),
-              $"span_count", $"bytes", $"checksum")
-            .as[ExtractedRow])
-    }
+    val comps = visibleCompactions(outDir, asOfSnapshot)
+    if (comps.isEmpty) return readCommittedBatches(spark, outDir)
+    val live = committedBatches(outDir)
+      .diff(deadBatches(outDir, asOfSnapshot)).toSeq
+    val compacted = comps.map(c => readCompacted(spark, outDir, c.snapshot))
+      .reduce(_ unionByName _)
+    if (live.isEmpty) compacted
+    else compacted.unionByName(readBatchDirs(spark, outDir, live))
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -324,60 +417,50 @@ object TableIO {
       }
     }
 
-  /** Physically remove state superseded by the LATEST compaction: its
-    * superseded batch data dirs + batch manifests, and any OLDER
-    * compacted snapshots + their journals. Time travel to snapshots
-    * before the latest compaction is no longer possible afterwards —
-    * the expire_snapshots contract. Returns the number of batch dirs +
-    * old snapshots removed. No-op (0) before any compaction.
+  /** Physically remove all SUPERSEDED state: batch data dirs + manifests
+    * any compaction rewrote, and compacted snapshots + journals a later
+    * full compaction folded in. Time travel to superseded snapshots is no
+    * longer possible afterwards — the expire_snapshots contract. Visible
+    * rows are unchanged. Returns the number of batch dirs + snapshots
+    * removed. No-op (0) before any compaction.
     */
   def expireSnapshots(outDir: String): Int = {
     val comps = compactions(outDir)
     if (comps.isEmpty) return 0
-    val latest = comps.last
     var removed = 0
-    latest.supersededBatches.foreach { b =>
+    deadBatches(outDir).toSeq.sorted.foreach { b =>
       val dataDir = Paths.get(outDir, "data", s"batch=$b")
       val m = manifestDir(outDir).resolve(s"batch-$b.json")
       if (Files.exists(dataDir) || Files.exists(m)) removed += 1
       deleteRecursively(dataDir)
       Files.deleteIfExists(m)
     }
-    comps.dropRight(1).foreach { c =>
-      deleteRecursively(compactedDir(outDir, c.snapshot))
-      Files.deleteIfExists(compactionPath(outDir, c.snapshot))
-      removed += 1
+    comps.flatMap(_.supersededSnapshots).distinct.sorted.foreach { s =>
+      val d = compactedDir(outDir, s)
+      val j = compactionPath(outDir, s)
+      if (Files.exists(d) || Files.exists(j)) removed += 1
+      deleteRecursively(d)
+      Files.deleteIfExists(j)
     }
     removed
   }
+
+  private def parquetFilesUnder(root: Path): Seq[String] =
+    if (!Files.exists(root)) Seq.empty
+    else Using.resource(Files.walk(root)) { st =>
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+    }
 
   /** All data-file paths currently visible through [[readTable]] — used
     * by tests to assert the compaction file-count drop.
     */
   def visibleDataFiles(outDir: String): Seq[String] = {
-    val comp = compactions(outDir).lastOption
-    val batchFiles = {
-      val live = comp match {
-        case None => committedBatches(outDir)
-        case Some(c) => committedBatches(outDir).diff(c.supersededBatches.toSet)
-      }
-      live.toSeq.sorted.flatMap { b =>
-        val root = Paths.get(outDir, "data", s"batch=$b")
-        if (!Files.exists(root)) Seq.empty
-        else Using.resource(Files.walk(root)) { st =>
-          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-            .map(_.toString).toSeq
-        }
-      }
-    }
-    val compFiles = comp.toSeq.flatMap { c =>
-      val root = compactedDir(outDir, c.snapshot)
-      if (!Files.exists(root)) Seq.empty
-      else Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq
-      }
-    }
+    val live = committedBatches(outDir).diff(deadBatches(outDir))
+    val batchFiles = live.toSeq.sorted.flatMap(b =>
+      parquetFilesUnder(Paths.get(outDir, "data", s"batch=$b")))
+    val compFiles = visibleCompactions(outDir).flatMap(c =>
+      parquetFilesUnder(compactedDir(outDir, c.snapshot)))
     batchFiles ++ compFiles
   }
 

@@ -167,6 +167,65 @@ class ResumeSpec extends AnyFunSuite {
     assert(TableIO.readTable(spark, out).count() == withExtra)
   }
 
+  test("binpack: only small batches fold; big batch untouched; compose + full compact") {
+    import spark.implicits._
+    val out = tmpDir()
+    val all = rows.collect().toSeq
+    // batch 0: "big" (most rows); batches 1..3: small tails
+    val big = all.filterNot(r =>
+      java.lang.Long.parseLong(r.doc_id.stripPrefix("d")) % 10 < 3)
+    assert(TableIO.appendBatchIdempotent(big.toDS(), out, 0L))
+    (1 to 3).foreach { i =>
+      val part = all.filter(r =>
+        java.lang.Long.parseLong(r.doc_id.stripPrefix("d")) % 10 == i - 1)
+      assert(TableIO.appendBatchIdempotent(part.toDS(), out, i.toLong))
+    }
+    val before = TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    val bigBytes = Files.walk(Path.of(out, "data", "batch=0"))
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    val smallMax = Files.walk(Path.of(out, "data", "batch=1"))
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum() * 3
+    val threshold = math.min(bigBytes, smallMax)
+    assert(threshold > 0 && bigBytes >= threshold)
+
+    val snap = TableIO.compactSmall(spark, out, threshold)
+    assert(snap.nonEmpty)
+    // the big batch dir is untouched; small ones are superseded
+    assert(Files.exists(Path.of(out, "data", "batch=0")))
+    val comp = TableIO.compactions(out).last
+    assert(comp.supersededBatches.toSet == Set(1L, 2L, 3L))
+    assert(comp.supersededSnapshots.isEmpty)
+    // identical visible rows; batch 0 still read from its own dir
+    val after = TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    assert(after == before, "binpack changed visible rows")
+    assert(TableIO.visibleDataFiles(out).exists(_.contains("batch=0")))
+    // a second small batch wave + binpack composes: two visible snapshots
+    val extra = all.filter(r =>
+      java.lang.Long.parseLong(r.doc_id.stripPrefix("d")) % 10 == 3)
+    assert(TableIO.appendBatchIdempotent(extra.toDS(), out, 4L))
+    assert(TableIO.appendBatchIdempotent(
+      spark.emptyDataset[graft.pipeline.Extraction.ExtractedRow], out, 5L))
+    val snap2 = TableIO.compactSmall(spark, out, threshold)
+    assert(snap2.nonEmpty && TableIO.visibleCompactions(out).size == 2)
+    val withExtra = TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq
+    assert(withExtra == (before ++ extra.map(r => (r.doc_id, r.spans, r.markdown))).sortBy(_._1))
+    // full compact folds both binpack snapshots + the big batch into one
+    val full = TableIO.compact(spark, out)
+    assert(TableIO.visibleCompactions(out).map(_.snapshot) == Seq(full))
+    assert(TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq == withExtra)
+    // expiry removes every superseded batch dir and snapshot; rows intact
+    TableIO.expireSnapshots(out)
+    (0 to 5).foreach { i =>
+      assert(!Files.exists(Path.of(out, "data", s"batch=$i")), s"batch $i survived")
+    }
+    assert(TableIO.readTable(spark, out)
+      .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq == withExtra)
+  }
+
   test("manifest stats: doc/span counts and checksum match recomputation") {
     import spark.implicits._
     val out = tmpDir()
