@@ -81,6 +81,21 @@ object SparkEntry {
     "ext_stream_counts" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamExtractCounts(s, dir)),
 
+    // Progress-callback / bench-recorder surface (SURVEY §2.10) under the
+    // hash gate: the named LongAccumulators updated inside the metered
+    // kernel loop must equal the closed-form doc/span totals — n_docs,
+    // spans_in (derived spans entering the kernel), spans_out (spans
+    // surviving boilerplate strip), dropped (= the nav+footer pair/doc).
+    "ext_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.pipeline.Extraction.metrics(s)
+      graft.pipeline.Extraction
+        .extractDsWithMetrics(graft.corpus.CorpusDerive.derive(s, dir), m)
+        .write.format("noop").mode("overwrite").save()
+      Seq((m.docs.value, m.spansIn.value, m.spansOut.value, m.dropped))
+        .toDF("n_docs", "spans_in", "spans_out", "dropped")
+    }),
+
     "ext_media_refs" -> ((s, dir) => {
       import s.implicits._
       extractedSpans(s, dir).filter($"kind" === "figure")
@@ -342,6 +357,68 @@ object SparkEntry {
         graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
       graft.pipeline.TableIO.writeResumable(rows, out)
       graft.pipeline.TableIO.readCommitted(s, out)
+        .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"span_count").cast("long").as("n_spans"))
+    }),
+
+    // Compaction lifecycle (Iceberg rewrite_data_files/expire_snapshots
+    // analog) under the hash gate: stream-style commits (3 tiny + 1 bulk)
+    // → binpack folds ONLY the small tail → full rewrite supersedes all →
+    // snapshot expiry physically removes dead state. Row-equality is
+    // asserted at every stage in-query; the returned per-bucket totals
+    // must still match the same closed form as tio_roundtrip, so any
+    // row lost or duplicated across the rewrites hash-fails.
+    "tio_compact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.TableIO
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-compact").toString
+      val rows = graft.pipeline.Extraction.extractRows(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
+      val slice = (i: Int) =>
+        rows.filter(expr(s"CAST(substring(doc_id, 2) AS BIGINT) % 100 = $i"))
+      (0 until 3).foreach(i =>
+        TableIO.appendBatchIdempotent(slice(i), out, i.toLong))
+      TableIO.appendBatchIdempotent(
+        rows.filter(expr("CAST(substring(doc_id, 2) AS BIGINT) % 100 >= 3")),
+        out, 3L)
+      val nBefore = TableIO.readTable(s, out).count()
+      val filesBefore = TableIO.visibleDataFiles(out).size
+      // threshold = the bulk batch's on-disk size: strictly-smaller (the
+      // tiny commits) folds, the bulk batch itself does not — robust to
+      // the sf under test
+      val bulkBytes = {
+        val p = java.nio.file.Paths.get(out, "data", "batch=3")
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        }
+      }
+      val snap1 = TableIO.compactSmall(s, out, smallBytes = bulkBytes)
+        .getOrElse(sys.error("binpack found no small tail to fold"))
+      val folded = TableIO.compactions(out)
+        .find(_.snapshot == snap1).get.supersededBatches.sorted
+      require(folded == Seq(0L, 1L, 2L),
+        s"binpack must fold exactly the tiny commits, got $folded")
+      require(TableIO.readTable(s, out).count() == nBefore,
+        "rows changed across binpack")
+      require(TableIO.visibleDataFiles(out).size < filesBefore,
+        "binpack must shrink the visible file count")
+      // time travel to the pre-binpack state still sees the raw batches
+      require(TableIO.readTable(s, out, asOfSnapshot = snap1 - 1)
+        .count() == nBefore, "time travel to pre-binpack state broken")
+      val snap2 = TableIO.compact(s, out)
+      require(snap2 > snap1, "full rewrite must advance the snapshot")
+      require(TableIO.readTable(s, out).count() == nBefore,
+        "rows changed across full compaction")
+      require(TableIO.expireSnapshots(out) > 0,
+        "expiry must remove superseded state")
+      require(TableIO.committedBatches(out).isEmpty,
+        "all batch dirs were superseded; expiry must drop their manifests")
+      TableIO.readTable(s, out)
         .groupBy($"bucket".cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
              sum($"span_count").cast("long").as("n_spans"))
@@ -610,6 +687,23 @@ object SparkEntry {
       """SELECT printf('d%010d', doc_id) AS doc_id,
         |       '# ' || array_to_string(list_slice(string_split(text,' '), 1, 3), ' ') AS text
         |FROM documents""".stripMargin,
+
+    "ext_metrics" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |       CAST(sum(3 + p
+        |          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS spans_in,
+        |       CAST(sum(1 + p
+        |          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS spans_out,
+        |       (2 * count(*))::BIGINT AS dropped
+        |FROM w""".stripMargin,
 
     "ext_doc_span_counts" ->
       """WITH w AS (
@@ -1229,6 +1323,18 @@ object SparkEntry {
          |FROM r""".stripMargin,
 
     "tio_roundtrip" ->
+      s"""WITH w AS (
+         |  SELECT ${md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
+         |    (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+         |       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         |       + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |       + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_spans
+         |  FROM documents)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans
+         |FROM w GROUP BY bucket""".stripMargin,
+
+    "tio_compact" ->
       s"""WITH w AS (
          |  SELECT ${md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
          |    (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
