@@ -268,19 +268,31 @@ object Bench {
     // failures are RECORDED, never silently timed as success: a query that
     // dies under the noop write is retried with count() (some sinks reject
     // specific plans); if that also dies, the error lands in the JSON.
+    // Each successful query is timed min-of-2: the first execution pays
+    // whole-stage-codegen compilation and (for the streaming queries)
+    // state-store init, which measured 2-5x the steady wall with huge
+    // run-to-run variance (ev_stream_late: 53.5/20.6/9.4 s across three
+    // reps of an identical run). Steady-state wall is what a resident
+    // service observes; every query stages into fresh temp dirs, so a
+    // second execution is side-effect-safe.
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case _: Throwable =>
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\n\r\\\\]", " "))
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case _: Throwable =>
+            try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\n\r\\\\]", " "))
+            }
           }
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (w1, err) = once()
+      val wall = if (err.isEmpty) math.min(w1, once()._1) else w1
+      (name, wall, err)
     }
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
