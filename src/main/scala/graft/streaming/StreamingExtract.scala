@@ -20,6 +20,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingExtract {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session's value after. Stateful streaming operators allocate one
+    * state-store instance per shuffle partition PER MICRO-BATCH; the
+    * driver-verify streams here carry a few hundred windows/sessions of
+    * state, so the batch session's 32-partition default buys nothing and
+    * pays 32 store inits + commits every trigger. Sizing state
+    * partitions to state volume is the same decision a 100 TB deployment
+    * makes in the opposite direction (raising it for billions of keys) —
+    * the partition count is baked into each query's (fresh) checkpoint,
+    * so scoping it per-stream is safe. Still > 1 so cross-partition
+    * state merge paths stay exercised.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour windows per event_type: count + exact cent sum.
     * Works unchanged over a batch DataFrame or a streaming source —
     * window() + agg is incrementalizable by the micro-batch planner.
@@ -141,10 +160,14 @@ object StreamingExtract {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(orderCols.map(col): _*)
     val total = events.count()
+    // cache: each part write below re-executes this frame, and the global
+    // row_number sort is the expensive bit — one sort, N cheap filters
     val bucketed = events.withColumn("__b",
       ((row_number().over(w) - 1) * nFiles / total).cast("int"))
-    stageOrderedParts(spark,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try stageOrderedParts(spark,
       (0 until nFiles).map(i => bucketed.filter(col("__b") === i).drop("__b")))
+    finally bucketed.unpersist(blocking = false)
   }
 
   /** Driver query ST-coverage: a REAL micro-batch streaming execution of
@@ -160,12 +183,14 @@ object StreamingExtract {
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withColumn("ts", col("ts").cast("timestamp_ltz"))
       .withWatermark("ts", "1 hour")
-    val q = eventWindowAgg(in)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = eventWindowAgg(in)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -181,12 +206,14 @@ object StreamingExtract {
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withColumn("ts", col("ts").cast("timestamp_ltz"))
       .withWatermark("ts", "1 hour")
-    val q = eventWindowAgg(in)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = eventWindowAgg(in)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("event_type"), col("win_us"))
       .agg(max(col("n")).as("n"), max(col("sum_c")).as("sum_c"))
@@ -267,13 +294,15 @@ object StreamingExtract {
     val src = stageTimeOrderedFiles(spark, evs, Seq("ts_us", "event_id"), 3)
     val name = s"graft_stream_sess_${System.nanoTime()}"
     val schema = spark.read.parquet(src).schema
-    val q = sessionize(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(src).as[Ev])
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = sessionize(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src).as[Ev])
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
