@@ -299,6 +299,13 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => DedupOps.ngramJaccardPairs(s, t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDupPairs(s, t(s, dir, "embeddings"))),
+    // Incremental dedup over a REAL 3-micro-batch ingestion: each batch's
+    // band keys probe the accumulated committed index (never a history
+    // re-scan), pairs commit idempotently per batch, flood tails degrade
+    // to a representative star under the streaming prefix cap. The
+    // oracle replays arrival-order (= doc_id-order) prefix semantics.
+    "dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamDedup.streamingMinhashPairs(s, t(s, dir, "documents"))),
 
     // ---- similarity search over embeddings ----
     "ann_topk" -> ((s, dir) =>
@@ -952,6 +959,47 @@ object SparkEntry {
          |    SELECT sz.rep AS doc_a, b.doc_id AS doc_b
          |    FROM bnd b JOIN sz ON sz.bk = b.bk
          |    WHERE sz.n > ${DedupOps.MaxBucket} AND b.doc_id <> sz.rep)),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
+         |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
+         |  FROM cand JOIN ds a ON a.doc_id = cand.doc_a
+         |            JOIN ds b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, jacc_i, jacc_u FROM v WHERE jacc_i*10 >= jacc_u*7""".stripMargin,
+
+    "dedup_stream" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(ws) >= 3
+         |      THEN list_transform(generate_series(1, len(ws)-2),
+         |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
+         |      ELSE [array_to_string(ws, ' ')] END) AS shs
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shs,
+         |    list_transform(generate_series(0,15), k ->
+         |      list_min(list_transform(shs, s ->
+         |        ((${md5iSql("'a|' || k")} % 1000000006 + 1)
+         |           * (${md5iSql("s")} % 1000000007)
+         |         + ${md5iSql("'b|' || k")} % 1000000007) % 1000000007))) AS sig
+         |  FROM ds),
+         |bnd AS (
+         |  SELECT doc_id,
+         |    md5(sig[4*b+1] || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4]) AS bk
+         |  FROM (SELECT doc_id, sig, unnest(generate_series(0,3)) AS b FROM sig)),
+         |pos AS (
+         |  SELECT bk, doc_id,
+         |    row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS p,
+         |    min(doc_id) OVER (PARTITION BY bk) AS rep
+         |  FROM bnd),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM pos a JOIN pos b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |    WHERE b.p <= ${DedupOps.MaxBucket}
+         |    UNION ALL
+         |    SELECT rep AS doc_a, doc_id AS doc_b FROM pos
+         |    WHERE p > ${DedupOps.MaxBucket})),
          |v AS (
          |  SELECT doc_a, doc_b,
          |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,

@@ -249,7 +249,7 @@ object DedupOps {
     * two rows (doc_a < doc_b guarantees the sides are distinct ids), one
     * per side, so the ignoreNulls `first` per side is deterministic.
     */
-  private def verifyJaccard(spark: SparkSession, cand: DataFrame,
+  private[graft] def verifyJaccard(spark: SparkSession, cand: DataFrame,
       sets: DataFrame, numerator: Int, denominator: Int): DataFrame = {
     import spark.implicits._
     val sides = cand.select($"doc_a", $"doc_b",
