@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, MediaOps, SimilarityOps, TextOps}
+import graft.operators.{ClusterOps, DedupOps, MediaOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,12 @@ object SparkEntry {
     // oracle replays arrival-order (= doc_id-order) prefix semantics.
     "dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamDedup.streamingMinhashPairs(s, t(s, dir, "documents"))),
+    // Connected components over the verified minhash pairs (alternating
+    // large-star/small-star): the actionable dedup output — one cluster
+    // label + size per near-dup doc. Oracle replays it as a recursive-CTE
+    // transitive closure with min-label components.
+    "dedup_clusters" -> ((s, dir) =>
+      ClusterOps.minhashClusters(s, t(s, dir, "documents"))),
 
     // ---- similarity search over embeddings ----
     "ann_topk" -> ((s, dir) =>
@@ -929,43 +935,22 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH ds AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(ws) >= 3
-         |      THEN list_transform(generate_series(1, len(ws)-2),
-         |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
-         |      ELSE [array_to_string(ws, ' ')] END) AS shs
-         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
-         |sig AS (
-         |  SELECT doc_id, shs,
-         |    list_transform(generate_series(0,15), k ->
-         |      list_min(list_transform(shs, s ->
-         |        ((${md5iSql("'a|' || k")} % 1000000006 + 1)
-         |           * (${md5iSql("s")} % 1000000007)
-         |         + ${md5iSql("'b|' || k")} % 1000000007) % 1000000007))) AS sig
-         |  FROM ds),
-         |bnd AS (
-         |  SELECT doc_id,
-         |    md5(sig[4*b+1] || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4]) AS bk
-         |  FROM (SELECT doc_id, sig, unnest(generate_series(0,3)) AS b FROM sig)),
-         |sz AS (SELECT bk, count(*) AS n, min(doc_id) AS rep FROM bnd GROUP BY bk),
-         |cand AS (
-         |  SELECT DISTINCT doc_a, doc_b FROM (
-         |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |    FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.doc_id < y.doc_id
-         |    JOIN sz ON sz.bk = x.bk
-         |    WHERE sz.n <= ${DedupOps.MaxBucket}
-         |    UNION ALL
-         |    SELECT sz.rep AS doc_a, b.doc_id AS doc_b
-         |    FROM bnd b JOIN sz ON sz.bk = b.bk
-         |    WHERE sz.n > ${DedupOps.MaxBucket} AND b.doc_id <> sz.rep)),
-         |v AS (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
-         |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
-         |  FROM cand JOIN ds a ON a.doc_id = cand.doc_a
-         |            JOIN ds b ON b.doc_id = cand.doc_b)
+      s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, jacc_i, jacc_u FROM v WHERE jacc_i*10 >= jacc_u*7""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |p AS (SELECT doc_a, doc_b FROM v WHERE jacc_i*10 >= jacc_u*7),
+         |ew AS (SELECT doc_a AS eu, doc_b AS ev FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, r) AS (
+         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM ew)
+         |  UNION
+         |  SELECT reach.n, ew.ev FROM reach JOIN ew ON ew.eu = reach.r),
+         |lab AS (SELECT n AS doc_id, min(r)::BIGINT AS cluster FROM reach GROUP BY n)
+         |SELECT doc_id, cluster,
+         |  (count(*) OVER (PARTITION BY cluster))::BIGINT AS csize
+         |FROM lab""".stripMargin,
 
     "dedup_stream" ->
       s"""WITH ds AS (
@@ -1636,4 +1621,48 @@ object SparkEntry {
   )
 
   private def md5iSql(e: String): String = graft.functions.Hashing.md5iSql(e)
+
+  /** Shared CTE chain producing the verified minhash near-dup candidates:
+    * shingle sets → 16-perm signatures → 4 band keys → MaxBucket-capped
+    * candidate pairs → exact integer Jaccard (`v`). dedup_minhash selects
+    * from `v` directly; dedup_clusters appends a recursive min-label
+    * transitive closure over the same pairs.
+    */
+  private lazy val minhashPairCtes: String =
+    s"""ds AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |      THEN list_transform(generate_series(1, len(ws)-2),
+       |             i -> array_to_string(list_slice(ws, i, i+2), ' '))
+       |      ELSE [array_to_string(ws, ' ')] END) AS shs
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, shs,
+       |    list_transform(generate_series(0,15), k ->
+       |      list_min(list_transform(shs, s ->
+       |        ((${md5iSql("'a|' || k")} % 1000000006 + 1)
+       |           * (${md5iSql("s")} % 1000000007)
+       |         + ${md5iSql("'b|' || k")} % 1000000007) % 1000000007))) AS sig
+       |  FROM ds),
+       |bnd AS (
+       |  SELECT doc_id,
+       |    md5(sig[4*b+1] || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4]) AS bk
+       |  FROM (SELECT doc_id, sig, unnest(generate_series(0,3)) AS b FROM sig)),
+       |sz AS (SELECT bk, count(*) AS n, min(doc_id) AS rep FROM bnd GROUP BY bk),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |    JOIN sz ON sz.bk = x.bk
+       |    WHERE sz.n <= ${DedupOps.MaxBucket}
+       |    UNION ALL
+       |    SELECT sz.rep AS doc_a, b.doc_id AS doc_b
+       |    FROM bnd b JOIN sz ON sz.bk = b.bk
+       |    WHERE sz.n > ${DedupOps.MaxBucket} AND b.doc_id <> sz.rep)),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(a.shs, b.shs))::BIGINT AS jacc_i,
+       |    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::BIGINT AS jacc_u
+       |  FROM cand JOIN ds a ON a.doc_id = cand.doc_a
+       |            JOIN ds b ON b.doc_id = cand.doc_b)""".stripMargin
 }
