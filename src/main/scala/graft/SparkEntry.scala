@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ClusterOps, DedupOps, MediaOps, SimilarityOps, TextOps}
+import graft.operators.{ClusterOps, CurateOps, DedupOps, MediaOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -292,6 +292,24 @@ object SparkEntry {
     "ta_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
     "ta_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "ta_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+
+    // ---- corpus curation (training-data ops) ----
+    // Gopher-style duplicate-2-gram stats: in-row sort+fold, zero exchanges.
+    "ta_repetition" -> ((s, dir) => CurateOps.repetition(t(s, dir, "documents"))),
+    // Deterministic PII injection + redaction; oracle re-verifies the exact
+    // scrubbed bytes via md5, not just the match counts.
+    "pii_scrub" -> ((s, dir) => CurateOps.piiScrub(t(s, dir, "documents"))),
+    // Per-source cap on the TopKPerKey native rank-filter shape.
+    "curate_src_cap" -> ((s, dir) => {
+      graft.plans.TopKPerKeyPlans.TopKPerKeyExtension.install(s)
+      CurateOps.sourceCap(t(s, dir, "documents"), cap = 20)
+    }),
+    // End-to-end keep/drop: quality >= 70 x lang = en x drop non-rep dup
+    // cluster members x per-source cap 15 — one declarative plan.
+    "curate_pipeline" -> ((s, dir) => {
+      graft.plans.TopKPerKeyPlans.TopKPerKeyExtension.install(s)
+      CurateOps.curate(s, t(s, dir, "documents"))
+    }),
 
     // ---- near-duplicate detection ----
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(s, t(s, dir, "documents"))),
@@ -933,6 +951,100 @@ object SparkEntry {
          |    list_transform(string_split(text,' '), w -> ${md5iSql("w")} % 1000000007),
          |    (a,b) -> (a*31+b) % 1000000007)::BIGINT AS fp
          |FROM documents""".stripMargin,
+
+    "ta_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 2
+        |    THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE [] END AS g2 FROM w),
+        |x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+        |c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM x GROUP BY doc_id, gram),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS d2, max(cnt)::BIGINT AS top2,
+        |        CAST(sum(cnt) AS BIGINT) AS n2 FROM c GROUP BY doc_id)
+        |SELECT g.doc_id, coalesce(s.n2, 0)::BIGINT AS n2,
+        |  coalesce(s.d2, 0)::BIGINT AS d2, coalesce(s.top2, 0)::BIGINT AS top2,
+        |  (CASE WHEN coalesce(s.n2, 0) > 0 THEN (10000*(s.n2 - s.d2)) // s.n2
+        |        ELSE 0 END)::BIGINT AS rep_q4
+        |FROM g LEFT JOIN s ON s.doc_id = g.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@mail.example.com or call 555-0'
+         |         || CAST(doc_id % 100 AS VARCHAR) || ' now'
+         |    ELSE text END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '${CurateOps.EmailRe}'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(aug, '${CurateOps.PhoneRe}'))::BIGINT AS n_phone,
+         |  md5(regexp_replace(regexp_replace(aug, '${CurateOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${CurateOps.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+         |FROM a""".stripMargin,
+
+    "curate_src_cap" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 20""".stripMargin,
+
+    "curate_pipeline" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |p AS (SELECT doc_a, doc_b FROM v WHERE jacc_i*10 >= jacc_u*7),
+         |ew AS (SELECT doc_a AS eu, doc_b AS ev FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, r) AS (
+         |  SELECT eu, eu FROM (SELECT DISTINCT eu FROM ew)
+         |  UNION
+         |  SELECT reach.n, ew.ev FROM reach JOIN ew ON ew.eu = reach.r),
+         |lab AS (SELECT n AS doc_id, min(r)::BIGINT AS cluster FROM reach GROUP BY n),
+         |dup AS (SELECT doc_id FROM lab WHERE doc_id <> cluster),
+         |qc AS (
+         |  SELECT doc_id, text, len(ws)::BIGINT AS n_words,
+         |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS chars,
+         |    len(list_filter(ws, x -> x IN (${TextOps.sqlInList(TextOps.QualityStop)})))::BIGINT AS n_stop
+         |  FROM (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents)),
+         |qq AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN CAST(floor((100.0*chars)/n_words) AS BIGINT) ELSE 0 END AS mwl_q2,
+         |    CASE WHEN n_words > 0 THEN CAST(floor((10000.0*n_stop)/n_words) AS BIGINT) ELSE 0 END AS stop_q4
+         |  FROM qc),
+         |qs AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_words BETWEEN 50 AND 5000 THEN 40 ELSE 10 END
+         |     + CASE WHEN stop_q4 >= 200 THEN 30 ELSE 0 END
+         |     + CASE WHEN mwl_q2 BETWEEN 250 AND 900 THEN 30 ELSE 0 END)::BIGINT AS score
+         |  FROM qq),
+         |lc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.EnStop)})))::BIGINT AS c_en,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.EsStop)})))::BIGINT AS c_es,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.DeStop)})))::BIGINT AS c_de,
+         |    len(list_filter(ws, w -> w IN (${TextOps.sqlInList(TextOps.FrStop)})))::BIGINT AS c_fr
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+         |lg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
+         |         WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+         |         WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+         |         WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM lc),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, qs.score FROM documents d
+         |  JOIN qs ON qs.doc_id = d.doc_id
+         |  JOIN lg ON lg.doc_id = d.doc_id
+         |  WHERE qs.score >= 70 AND lg.pred_lang = 'en'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dup))
+         |SELECT doc_id, source, score, rnk FROM (
+         |  SELECT doc_id, source, score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM kept)
+         |WHERE rnk <= 15""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
