@@ -69,7 +69,7 @@ object DedupOps {
     */
   private val cacheSlots =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
-  private def persistSlot[T](key: String, ds: Dataset[T]): Dataset[T] = {
+  private[graft] def persistSlot[T](key: String, ds: Dataset[T]): Dataset[T] = {
     val prev = cacheSlots.put(key, ds)
     if (prev != null) prev.unpersist(blocking = false)
     ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -122,7 +122,11 @@ object StreamDedup {
     */
   def streamingMinhashPairs(spark: SparkSession, docs: DataFrame,
       nBatches: Int = 3, maxBucket: Int = DedupOps.MaxBucket): DataFrame = {
-    val slim = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // staging reads slim 4x (max-id + three range filters) and the final
+    // verify twice more — cache it in a managed slot (same fix that cut
+    // the ev_stream_* staging walls; the slot unpersists on re-invoke)
+    val slim = DedupOps.persistSlot("stream_slim",
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
     val maxId = slim.agg(max(col("doc_id"))).head().getLong(0)
     val parts = (0 until nBatches).map { i =>
       val lo = (maxId + 1) * i / nBatches
