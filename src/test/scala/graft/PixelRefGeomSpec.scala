@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PixelOps
+import graft.vision.PixelKernel
+
+/** The pixel kernel at the REFERENCE'S SHIPPED GEOMETRY — base_size 1024,
+  * image_size 640 (ref crates/config/src/config.rs:89-90) — over an
+  * 800×600 rule image. The oracle-gated mm_pixels query runs the same
+  * algorithms at 16-px geometry for DuckDB tractability; this spec proves
+  * the kernel is size-generic by exercising the full-size path end to
+  * end (PNG encode/decode round trip, 2×1 dynamic-ratio resize to
+  * 1280×640, 640-px tile crops, 1024-px letterboxed global view,
+  * CHW normalization) and pinning the resulting integer checksums as
+  * golden regression values.
+  */
+class PixelRefGeomSpec extends AnyFunSuite {
+
+  private val BaseSize = 1024 // ref config.rs:89
+  private val ImageSize = 640 // ref config.rs:90
+
+  private lazy val src = PixelOps.rulePixels("ref-geom", 800, 600)
+  private lazy val dec = PixelKernel.decodePng(PixelKernel.encodePng(src))
+
+  test("PNG round trip is lossless at 800x600 (all five row filters)") {
+    assert(dec.w == 800 && dec.h == 600)
+    assert(PixelKernel.pixelChecksum(dec) == PixelKernel.pixelChecksum(src))
+  }
+
+  test("640-px ratio resize and tile crops (2x1)") {
+    val sized = PixelKernel.resizeBicubic(dec, 2 * ImageSize, ImageSize)
+    val tiles = PixelKernel.cropTiles(sized, ImageSize)
+    assert(tiles.length == 2)
+    assert(tiles.forall(t => t.w == ImageSize && t.h == ImageSize))
+    assert(PixelKernel.pixelChecksum(tiles(0)) == 772695905L)
+    assert(PixelKernel.normChecksum(tiles(0)) == 233339466L)
+    assert(PixelKernel.pixelChecksum(tiles(1)) == 608065829L)
+    assert(PixelKernel.normChecksum(tiles(1)) == 711793326L)
+  }
+
+  test("1024-px letterboxed global view geometry and checksums") {
+    val g = PixelKernel.buildGlobalView(dec, BaseSize)
+    assert(g.w == BaseSize && g.h == BaseSize)
+    // scale = min(1024/800, 1024/600) = 1.28 → content 1024×768, y_off 128:
+    // the top and bottom 128 rows are untouched mid-gray canvas
+    val base = BaseSize
+    def px(x: Int, y: Int, c: Int): Int = g.data((y * base + x) * 3 + c) & 0xff
+    for (y <- Seq(0, 127, 896, 1023); x <- Seq(0, 511, 1023); c <- 0 until 3)
+      assert(px(x, y, c) == (PixelKernel.CanvasGray & 0xff), s"($x,$y,$c)")
+    // first content row is NOT all gray
+    assert((0 until base).exists(x =>
+      (0 until 3).exists(c => px(x, 128, c) != (PixelKernel.CanvasGray & 0xff))))
+    assert(PixelKernel.pixelChecksum(g) == 401581792L)
+    assert(PixelKernel.normChecksum(g) == 630324663L)
+  }
+}
