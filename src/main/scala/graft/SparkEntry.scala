@@ -293,6 +293,10 @@ object SparkEntry {
     "ta_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "ta_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
 
+    // KMV distinct-count sketch: per-source vocabulary cardinality where
+    // the exchange carries <= k longs per source, not the token stream.
+    "corpus_vocab_kmv" -> ((s, dir) => TextOps.vocabKmv(t(s, dir, "documents"))),
+
     // ---- corpus curation (training-data ops) ----
     // Gopher-style duplicate-2-gram stats: in-row sort+fold, zero exchanges.
     "ta_repetition" -> ((s, dir) => CurateOps.repetition(t(s, dir, "documents"))),
@@ -951,6 +955,19 @@ object SparkEntry {
          |    list_transform(string_split(text,' '), w -> ${md5iSql("w")} % 1000000007),
          |    (a,b) -> (a*31+b) % 1000000007)::BIGINT AS fp
          |FROM documents""".stripMargin,
+
+    "corpus_vocab_kmv" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT DISTINCT source, ${md5iSql("w")} % ${TextOps.KmvSpace} AS hv FROM tok),
+         |r AS (SELECT source, hv,
+         |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+         |a AS (SELECT source, count(*)::BIGINT AS k_used, max(hv)::BIGINT AS kth
+         |      FROM r WHERE rn <= 16 GROUP BY source)
+         |SELECT source, k_used, kth,
+         |  (CASE WHEN k_used < 16 THEN k_used
+         |        WHEN kth > 0 THEN ${15L * TextOps.KmvSpace} // kth
+         |        ELSE 0 END)::BIGINT AS est
+         |FROM a""".stripMargin,
 
     "ta_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -86,6 +86,36 @@ object TextOps {
         .when(col("c_es") === m, "es").otherwise("fr"))
   }
 
+  /** Hash space for the KMV vocabulary sketch: 2^40 keeps
+    * (k−1)·M inside a signed long for any practical k while making
+    * hash collisions negligible for vocabularies up to ~10^6.
+    */
+  val KmvSpace: Long = 1L << 40
+
+  /** Per-source vocabulary cardinality via the KMV k-minimum-values
+    * sketch ([[graft.functions.KmvMinsAgg]]): (source, k_used, kth, est)
+    * with est = exact distinct count while the sketch is unsaturated,
+    * else the KMV estimator (k−1)·M div h_k — all-integer, so the
+    * DuckDB oracle replays it exactly (ORDER BY hash LIMIT k).
+    *
+    * The exchange moves ≤ k longs per (partition, source), never the
+    * token stream: corpus-wide cardinality stats at scan cost.
+    */
+  def vocabKmv(docs: DataFrame, k: Int = 16): DataFrame = {
+    val estNum = (k - 1).toLong * KmvSpace
+    docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .select(col("source"), (Hashing.md5iCol(col("w")) % KmvSpace).as("hv"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvMinsAgg.column(col("hv"), k).as("mins"))
+      .select(col("source"),
+        size(col("mins")).cast("long").as("k_used"),
+        coalesce(element_at(col("mins"), -1), lit(0L)).as("kth"))
+      .withColumn("est",
+        when(col("k_used") < k, col("k_used"))
+          .when(col("kth") > 0, expr(s"$estNum div kth"))
+          .otherwise(lit(0L)))
+  }
+
   /** Polynomial rolling fingerprint of the word-hash sequence (order-
     * sensitive — two docs match iff their full word sequences match).
     * See [[Hashing.polyFp]] for the cross-engine contract.
