@@ -108,6 +108,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!lsh.contains("DeserializeToObject") && lsh.contains("*("), lsh)
   }
 
+  test("corpus_vocab_kmv: partial sketch BEFORE the single exchange") {
+    val p = plan("corpus_vocab_kmv")
+    // map-side partial aggregation must run below the exchange so the
+    // shuffle carries <= k-long sketch buffers, never the token stream
+    assert(p.contains("partial_graft_kmv_mins"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+    val partialIdx = p.indexOf("partial_graft_kmv_mins")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    // formatted plan lists operators top-down: the exchange must appear
+    // ABOVE (before) the partial aggregate in the tree rendering
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, p)
+  }
+
   test("extraction pipeline: single exchange (the explicit rebalance)") {
     import spark.implicits._
     val docs = graft.corpus.CorpusDerive.derive(spark, sf)
