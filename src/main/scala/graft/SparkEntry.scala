@@ -362,6 +362,9 @@ object SparkEntry {
     "mm_data_url" -> ((s, dir) => MediaOps.dataUrlDecode(s, t(s, dir, "documents"))),
     "mm_tiling" -> ((s, dir) =>
       graft.operators.TilingOps.tilingPlan(s, t(s, dir, "documents"))),
+    // crop_mode = false: no tiles, image_size-grid placeholders (111).
+    "mm_tiling_nocrop" -> ((s, dir) =>
+      graft.operators.TilingOps.tilingPlanNoCrop(s, t(s, dir, "documents"))),
 
     // REAL pixel decode end-to-end: rule pixels → compressed PNG (all 5
     // row filters) → Inflater decode → ratio resize + tile crops +
@@ -1454,6 +1457,18 @@ object SparkEntry {
          |  (273 + CASE WHEN ratio_w > 1 OR ratio_h > 1
          |    THEN (10*ratio_h)*(10*ratio_w + 1) ELSE 0 END)::BIGINT AS tokens_total
          |FROM pick""".stripMargin,
+
+    "mm_tiling_nocrop" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0)
+         |SELECT media_ref,
+         |  (${md5iSql("'w|' || media_ref")} % 1920 + 1)::BIGINT AS width,
+         |  (${md5iSql("'h|' || media_ref")} % 1080 + 1)::BIGINT AS height,
+         |  0::BIGINT AS n_tiles, 111::BIGINT AS tokens_global,
+         |  0::BIGINT AS tokens_local, 111::BIGINT AS tokens_total
+         |FROM refs""".stripMargin,
 
     "ext_normalize_expr" ->
       "SELECT doc_id, text AS norm FROM documents",

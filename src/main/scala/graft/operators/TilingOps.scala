@@ -95,4 +95,22 @@ object TilingOps {
     }.toDF("media_ref", "ratio_w", "ratio_h", "n_tiles",
            "tokens_global", "tokens_local", "tokens_total")
   }
+
+  /** The crop_mode = false config switch (ref config.rs:78, default true
+    * at :91): NO dynamic tiling — patches and crop shape are absent
+    * (ref model/mod.rs:1211-1213) and the placeholder grid is computed
+    * from IMAGE_SIZE, not base_size (ref inference.rs:228-231):
+    * g = ceil((image_size/16)/4) = 10 → 10·11 + 1 = 111 tokens, the same
+    * grid TokenOps.buildTokenStream synthesizes. Dims still come from
+    * the real header parse so the oracle re-verifies them per row.
+    */
+  def tilingPlanNoCrop(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tg = tokensGlobal(ImageSize).toLong
+    MediaOps.mediaItems(spark, docs).map { item =>
+      val meta = MediaOps.MediaKernel.decode(item)
+      (item.media_ref, meta.width, meta.height, 0L, tg, 0L, tg)
+    }.toDF("media_ref", "width", "height", "n_tiles",
+           "tokens_global", "tokens_local", "tokens_total")
+  }
 }
