@@ -321,6 +321,11 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => DedupOps.ngramJaccardPairs(s, t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDupPairs(s, t(s, dir, "embeddings"))),
+    // Multiprobe LSH: each band also probes its Hamming-1 neighbor
+    // values, recovering near-threshold pairs banding misses; exact
+    // cosine verification unchanged (extra probes add recall only).
+    "dedup_embedding_mp" -> ((s, dir) =>
+      DedupOps.embeddingNearDupPairsProbed(s, t(s, dir, "embeddings"))),
     // Incremental dedup over a REAL 3-micro-batch ingestion: each batch's
     // band keys probe the accumulated committed index (never a history
     // re-scan), pairs commit idempotently per batch, flood tails degrade
@@ -1181,6 +1186,44 @@ object SparkEntry {
          |      || '|' || label AS bk
          |  FROM (SELECT vec_id, label, sketch,
          |          unnest(generate_series(0, ${DedupOps.EmbBands - 1})) AS b FROM n)),
+         |sz AS (SELECT bk, count(*) AS nb2, min(vec_id) AS rep FROM bnd GROUP BY bk),
+         |cand AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |    FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.vec_id < y.vec_id
+         |    JOIN sz ON sz.bk = x.bk
+         |    WHERE sz.nb2 <= ${DedupOps.MaxBucket}
+         |    UNION ALL
+         |    SELECT sz.rep AS vec_a, b.vec_id AS vec_b
+         |    FROM bnd b JOIN sz ON sz.bk = b.bk
+         |    WHERE sz.nb2 > ${DedupOps.MaxBucket} AND b.vec_id <> sz.rep))
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i]))::BIGINT AS dot,
+         |    a.nsq AS na, b.nsq AS nb
+         |  FROM cand JOIN n a ON a.vec_id = cand.vec_a
+         |            JOIN n b ON b.vec_id = cand.vec_b)
+         |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb""".stripMargin,
+
+    "dedup_embedding_mp" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq,
+         |    list_reduce(
+         |      list_transform(generate_series(0,${SimilarityOps.Planes - 1}), p ->
+         |        CASE WHEN list_sum(list_transform(generate_series(1, len(q)),
+         |               d -> (${md5iSql("p || '|' || (d-1)")} % 2001 - 1000) * q[d])) > 0
+         |          THEN (1::BIGINT << p) ELSE 0::BIGINT END),
+         |      (a,b) -> a | b) AS sketch
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |        FROM embeddings)),
+         |bnd AS (
+         |  SELECT vec_id,
+         |    b || '|' || xor((sketch >> (b * ${DedupOps.EmbBandBits})) % ${1 << DedupOps.EmbBandBits}, m)
+         |      || '|' || label AS bk
+         |  FROM (SELECT vec_id, label, sketch, b, unnest([${(0L +: (0 until DedupOps.EmbBandBits).map(1L << _)).mkString(", ")}]) AS m
+         |        FROM (SELECT vec_id, label, sketch,
+         |                unnest(generate_series(0, ${DedupOps.EmbBands - 1})) AS b FROM n))),
          |sz AS (SELECT bk, count(*) AS nb2, min(vec_id) AS rep FROM bnd GROUP BY bk),
          |cand AS (
          |  SELECT DISTINCT vec_a, vec_b FROM (

@@ -345,4 +345,46 @@ object DedupOps {
         SimilarityOps.dot($"qa", $"qb").as("dot"), $"na", $"nb")
       .filter($"dot" > 0L && lit(25L) * $"dot" * $"dot" >= lit(4L) * $"na" * $"nb")
   }
+
+  /** MULTIPROBE variant of [[embeddingNearDupPairs]] — the standard
+    * recall fix for banded sketch LSH (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): each vector emits, per band, its exact 4-bit value AND
+    * every Hamming-1 neighbor (xor with each single-bit mask). Two
+    * sketches whose band values differ by ≤ 2 bits then share at least
+    * one key (for distance 2, the middle value reached by flipping one
+    * differing bit on each side), so near-threshold pairs that banding
+    * misses become candidates. Emitted VALUES are unchanged — the exact
+    * integer-cosine verification still gates every pair, so extra probes
+    * only add recall, never false positives.
+    *
+    * Cost is a fixed ×(1+bits) key multiplier (5× here) on the candidate
+    * exchange — bounded and scan-shaped, unlike widening the bands
+    * (which squares bucket sizes) or dropping to all-pairs. The
+    * MaxBucket star-cap applies per probe key exactly as before.
+    */
+  def embeddingNearDupPairsProbed(spark: SparkSession, emb: DataFrame,
+                                  maxBucket: Int = MaxBucket): DataFrame = {
+    import spark.implicits._
+    val q = persistSlot("embedding", SimilarityOps.quantized(emb))
+    val sk = SimilarityOps.lshSketch(spark, emb)
+      .join(q.select($"vec_id", $"label"), "vec_id")
+    val masks = 0L +: (0 until EmbBandBits).map(b => (1L << b))
+    val bands = sk
+      .select($"vec_id", $"label", $"sketch",
+        explode(sequence(lit(0), lit(EmbBands - 1))).as("b"))
+      .select($"vec_id", $"label", $"b",
+        expr(s"shiftright(sketch, b * $EmbBandBits) % ${1 << EmbBandBits}").as("bv"))
+      .select($"vec_id", $"label", $"b", $"bv",
+        explode(array(masks.map(lit): _*)).as("m"))
+      .select(concat($"b", lit("|"), expr("bv ^ m"), lit("|"), $"label").as("bk"),
+        $"vec_id".as("doc_id"))
+    val cand = bandCandidates(bands, maxBucket)
+      .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"))
+    cand
+      .join(q.select($"vec_id".as("vec_a"), $"q".as("qa"), $"nsq".as("na")), "vec_a")
+      .join(q.select($"vec_id".as("vec_b"), $"q".as("qb"), $"nsq".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        SimilarityOps.dot($"qa", $"qb").as("dot"), $"na", $"nb")
+      .filter($"dot" > 0L && lit(25L) * $"dot" * $"dot" >= lit(4L) * $"na" * $"nb")
+  }
 }
