@@ -52,6 +52,30 @@ object SparkEntry {
                 $"order".cast("long").as("ord"))
     }),
 
+    // XY-cut reading-order recovery over 2-D span boxes (SURVEY §7.3(d),
+    // the PDF-layout analog of the reference's grid tile reorder): boxes
+    // are synthesized per doc on a deterministic 2-column geometry, the
+    // recursive cut runs in a narrow kernel, and the oracle replays the
+    // resulting order in closed form (column-major (col, y0, idx) — the
+    // provable XY-cut outcome on this geometry; XyCutSpec covers layouts
+    // where no closed form exists).
+    "ext_xycut" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.XyCut
+      import graft.functions.Hashing
+      t(s, dir, "documents").select($"doc_id").as[Long].flatMap { id =>
+        val n = (id % 4 + 3).toInt
+        val boxes = (0 until n).map { i =>
+          val col = (Hashing.md5i(s"xc|$id|$i") % 2L).toInt
+          val y0 = (Hashing.md5i(s"xy|$id|$i") % 900L).toInt
+          XyCut.Box(col * 550, y0, col * 550 + 450, y0 + 40)
+        }.toIndexedSeq
+        XyCut.order(boxes).zipWithIndex.map { case (boxIdx, pos) =>
+          (id, boxIdx.toLong, pos.toLong)
+        }
+      }.toDF("doc_id", "box_i", "ord")
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -629,6 +653,18 @@ object SparkEntry {
         |SELECT 'table', count(*)::BIGINT FROM documents WHERE doc_id % 3 = 0
         |UNION ALL
         |SELECT 'figure', ((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) + (SELECT count(*) FROM documents WHERE doc_id % 4 = 0))::BIGINT""".stripMargin,
+
+    "ext_xycut" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'xc|' || doc_id || '|' || i")} % 2 AS col,
+         |    ${md5iSql("'xy|' || doc_id || '|' || i")} % 900 AS y0
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents))
+         |SELECT doc_id, i::BIGINT AS box_i,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
+         |FROM b""".stripMargin,
 
     "ext_spans_full" ->
       """WITH w AS (
