@@ -76,6 +76,22 @@ object SparkEntry {
       }.toDF("doc_id", "box_i", "ord")
     }),
 
+    // PDF content-stream parsing (north-star layout stage): a REAL
+    // tokenizer + text-object interpreter (BT/ET, Tm/Td, Tj/TJ with
+    // escapes and kerning arrays, bottom-up y flip) over spec-conformant
+    // synthesized streams, then XY-cut ordering. The oracle replays ONLY
+    // the synthesis rule — hash equality proves the parser inverts it.
+    "ext_pdf_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.PdfStream
+      t(s, dir, "documents").select($"doc_id").as[Long].flatMap { id =>
+        PdfStream.readingOrder(PdfStream.synthesize(id)).map {
+          case (r, pos) =>
+            (id, r.text, r.x.toLong, (PdfStream.PageH - r.y).toLong, pos.toLong)
+        }
+      }.toDF("doc_id", "text", "x", "y", "ord")
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -665,6 +681,28 @@ object SparkEntry {
          |SELECT doc_id, i::BIGINT AS box_i,
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
          |FROM b""".stripMargin,
+
+    "ext_pdf_stream" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'pc|' || doc_id || '|' || i")} % 2 AS col,
+         |    ${md5iSql("'py|' || doc_id || '|' || i")} % 900 AS y0,
+         |    ${md5iSql("'pe|' || doc_id || '|' || i")} % 3 = 0 AS esc,
+         |    ${md5iSql("'pj|' || doc_id || '|' || i")} % 2 = 0 AS tj
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents)),
+         |t AS (
+         |  SELECT doc_id, i, col, y0,
+         |    (CASE WHEN esc THEN '(' || 'w' || doc_id || '_' || i || ')'
+         |          ELSE 'w' || doc_id || '_' || i END)
+         |    || (CASE WHEN tj THEN '_tj' ELSE '' END) AS text
+         |  FROM r)
+         |SELECT doc_id, text,
+         |  (col * ${graft.extract.PdfStream.ColPitch})::BIGINT AS x,
+         |  y0::BIGINT AS y,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
+         |FROM t""".stripMargin,
 
     "ext_spans_full" ->
       """WITH w AS (
