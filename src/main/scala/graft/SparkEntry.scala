@@ -92,6 +92,23 @@ object SparkEntry {
       }.toDF("doc_id", "text", "x", "y", "ord")
     }),
 
+    // Post-decode grounding-markup parsing (capture_baseline.py:762-780
+    // analog): extract <|ref|>/<|det|> pairs from synthesized decoded
+    // text, rewrite image refs to ![](images/N.jpg) with the running
+    // index, order refs by XY-cut over their det boxes. Oracle replays
+    // the synthesis rule only.
+    "ext_grounding" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.Grounding
+      t(s, dir, "documents").select($"doc_id").as[Long].flatMap { id =>
+        Grounding.readingOrder(Grounding.synthesize(id)).map {
+          case (r, _, pos) =>
+            (id, r.text, r.x1.toLong, r.y1.toLong,
+             if (r.isImage) 1L else 0L, r.frag, pos.toLong)
+        }
+      }.toDF("doc_id", "ref_text", "x1", "y1", "is_image", "frag", "ord")
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -701,6 +718,30 @@ object SparkEntry {
          |SELECT doc_id, text,
          |  (col * ${graft.extract.PdfStream.ColPitch})::BIGINT AS x,
          |  y0::BIGINT AS y,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
+         |FROM t""".stripMargin,
+
+    "ext_grounding" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'gk|' || doc_id || '|' || i")} % 4 AS kind_i,
+         |    ${md5iSql("'gc|' || doc_id || '|' || i")} % 2 AS col,
+         |    ${md5iSql("'gy|' || doc_id || '|' || i")} % 900 AS y0
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 3 + 1 AS INT))) AS i
+         |        FROM documents)),
+         |t AS (
+         |  SELECT doc_id, i, col, y0, kind_i,
+         |    CASE WHEN kind_i = 2 THEN 'image' ELSE 's' || doc_id || '_' || i END AS ref_text,
+         |    coalesce(CAST(sum(CASE WHEN kind_i = 2 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS img_before
+         |  FROM r)
+         |SELECT doc_id, ref_text,
+         |  (col * 550)::BIGINT AS x1, y0::BIGINT AS y1,
+         |  (CASE WHEN kind_i = 2 THEN 1 ELSE 0 END)::BIGINT AS is_image,
+         |  CASE WHEN kind_i = 2 THEN '![](images/' || img_before || '.jpg)'
+         |       ELSE ref_text END AS frag,
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
          |FROM t""".stripMargin,
 
