@@ -109,6 +109,23 @@ object SparkEntry {
       }.toDF("doc_id", "ref_text", "x1", "y1", "is_image", "frag", "ord")
     }),
 
+    // Streaming HTML/DOM tokenizer + link-density boilerplate strip (the
+    // north star's first pillar): synthesize spec-idiom HTML (comments
+    // with markup, script raw-text with fake closers, quoted '>' attrs,
+    // entities, mixed-case tags), lex it with the REAL single-pass
+    // tokenizer, classify blocks into heading/paragraph/table/figure.
+    // The oracle replays only the closed-form rule — hash parity proves
+    // the lexer inverted the markup.
+    "ext_html" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.Html
+      t(s, dir, "documents").select($"doc_id").as[Long].flatMap { id =>
+        Html.extract(Html.synthesize(id)).zipWithIndex.map { case (b, pos) =>
+          (id, b.kind, b.text, b.mediaRef, b.denMilli, b.level.toLong, pos.toLong)
+        }
+      }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -744,6 +761,39 @@ object SparkEntry {
          |       ELSE ref_text END AS frag,
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
          |FROM t""".stripMargin,
+
+    "ext_html" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k,
+         |    ${md5iSql("'hl|' || doc_id || '|' || i")} % 3 + 1 AS lvl
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents)),
+         |b AS (
+         |  SELECT doc_id, i, 0 AS cell,
+         |    CASE WHEN k = 0 THEN 'heading' WHEN k IN (1, 2) THEN 'paragraph'
+         |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
+         |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
+         |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         WHEN k = 5 THEN 'fig ' || i
+         |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
+         |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
+         |         ELSE '' END AS media_ref,
+         |    CASE WHEN k = 2 THEN
+         |      (1000 * length('L' || doc_id || '_' || i))
+         |        // length('see L' || doc_id || '_' || i || ' t' || i || ' end')
+         |      ELSE 0 END AS den,
+         |    CASE WHEN k = 0 THEN lvl ELSE 0 END AS lvl_out
+         |  FROM r WHERE k IN (0, 1, 2, 5, 6)
+         |  UNION ALL
+         |  SELECT doc_id, i, 1, 'table', 'c' || doc_id || '_' || i || '_1', '', 0, 0
+         |  FROM r WHERE k = 6)
+         |SELECT doc_id, kind, text, media_ref,
+         |  den::BIGINT AS den_milli, lvl_out::BIGINT AS lvl,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
+         |FROM b""".stripMargin,
 
     "ext_spans_full" ->
       """WITH w AS (
