@@ -126,6 +126,22 @@ object SparkEntry {
       }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
     }),
 
+    // The HTML tokenizer as a DISTRIBUTED pipeline: same salt + sketch-
+    // routed range placement + single exchange as the span pipeline
+    // (Extraction.pipelineWith), with Html.extract as the narrow kernel.
+    // Span-sequence equality (kind, text, media_ref, order) per doc —
+    // the north-rule contract over the HTML front door.
+    "ext_html_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val htmlDocs = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => (id.toString, graft.extract.Html.synthesize(id)))
+      graft.pipeline.Extraction.pipelineHtml(htmlDocs)
+        .select($"doc_id", explode($"spans").as("sp"))
+        .select($"doc_id", $"sp.kind".as("kind"), $"sp.text".as("text"),
+                $"sp.media_ref".as("media_ref"),
+                $"sp.order".cast("long").as("ord"))
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -792,6 +808,32 @@ object SparkEntry {
          |  FROM r WHERE k = 6)
          |SELECT doc_id, kind, text, media_ref,
          |  den::BIGINT AS den_milli, lvl_out::BIGINT AS lvl,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
+         |FROM b""".stripMargin,
+
+    "ext_html_pipeline" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents)),
+         |b AS (
+         |  SELECT doc_id, i, 0 AS cell,
+         |    CASE WHEN k = 0 THEN 'heading' WHEN k IN (1, 2) THEN 'paragraph'
+         |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
+         |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
+         |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         WHEN k = 5 THEN 'fig ' || i
+         |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
+         |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
+         |         ELSE '' END AS media_ref
+         |  FROM r WHERE k IN (0, 1, 2, 5, 6)
+         |  UNION ALL
+         |  SELECT doc_id, i, 1, 'table', 'c' || doc_id || '_' || i || '_1', ''
+         |  FROM r WHERE k = 6)
+         |SELECT doc_id::VARCHAR AS doc_id, kind, text, media_ref,
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
          |FROM b""".stripMargin,
 

@@ -119,13 +119,18 @@ object Extraction {
     * per row; boundary quality only affects balance).
     */
   def sampleKeys(docs: Dataset[Doc], saltBuckets: Int,
-                 budget: Int = SampleBudget): Array[RangeRouter.Key] = {
+                 budget: Int = SampleBudget): Array[RangeRouter.Key] =
+    sampleKeysWith(docs, (_: Doc).doc_id, saltBuckets, budget)
+
+  /** [[sampleKeys]] over any document type, keyed by `idOf`. */
+  def sampleKeysWith[T](docs: Dataset[T], idOf: T => String, saltBuckets: Int,
+                        budget: Int = SampleBudget): Array[RangeRouter.Key] = {
     import docs.sparkSession.implicits._
     val numParts = math.max(1, docs.rdd.getNumPartitions)
     val quota = math.max(MinQuota, budget / numParts)
     val firstLevel = docs.mapPartitions { it =>
       RangeRouter.reservoir(
-        it.map(d => RangeRouter.key(d.doc_id, saltBuckets)), quota)
+        it.map(d => RangeRouter.key(idOf(d), saltBuckets)), quota)
     }
     if (numParts.toLong * quota <= 2L * budget) firstLevel.collect()
     else {
@@ -137,7 +142,35 @@ object Extraction {
   }
 
   def pipeline(docs: Dataset[Doc], shufflePartitions: Int = 0,
-               saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
+               saltBuckets: Int = 64): Dataset[ExtractedDoc] =
+    pipelineWith(docs, (_: Doc).doc_id, Kernel.extractSpans,
+      shufflePartitions, saltBuckets)
+
+  /** The span pipeline over raw HTML documents: the [[graft.extract.Html]]
+    * streaming tokenizer + link-density boilerplate strip is the kernel,
+    * everything else (salt, sketch-routed range placement, single
+    * exchange, post-shuffle markdown render) is shared with [[pipeline]].
+    * This is the north star's "boilerplate stripping over a streaming DOM
+    * tokenizer" as a DISTRIBUTED path, not just a per-row kernel.
+    */
+  def pipelineHtml(docs: Dataset[(String, String)], shufflePartitions: Int = 0,
+                   saltBuckets: Int = 64): Dataset[ExtractedDoc] =
+    pipelineWith(docs, (_: (String, String))._1,
+      (d: (String, String)) => graft.extract.Html.extract(d._2)
+        .zipWithIndex.map { case (b, i) =>
+          ExtractedSpan(b.kind, b.text, b.mediaRef, i)
+        },
+      shufflePartitions, saltBuckets)
+
+  /** Generic pipeline body: any document type, any narrow span kernel.
+    * The plan shape is IDENTICAL for every instantiation — kernel first
+    * (narrow), one sketch-routed exchange, markdown rendered post-shuffle
+    * (PlanShapeSpec pins it).
+    */
+  def pipelineWith[T](docs: Dataset[T], idOf: T => String,
+                      kernel: T => IndexedSeq[ExtractedSpan],
+                      shufflePartitions: Int = 0,
+                      saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = if (shufflePartitions > 0) shufflePartitions
@@ -145,15 +178,15 @@ object Extraction {
     implicit val outEnc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
     // narrow key-only sketch pass: derivation runs, kernel does NOT;
     // driver collect bounded by SampleBudget regardless of split count
-    val keys = sampleKeys(docs, saltBuckets)
+    val keys = sampleKeysWith(docs, idOf, saltBuckets)
     val bounds = RangeRouter.boundaries(keys, n)
     val tokens = RangeRouter.hashTokens(n)
     val bBounds = spark.sparkContext.broadcast(bounds)
     docs
       .mapPartitions(_.map { d =>
-        val k = RangeRouter.key(d.doc_id, saltBuckets)
-        (tokens(RangeRouter.bucket(bBounds.value, k)), d.doc_id,
-          Kernel.extractSpans(d))
+        val id = idOf(d)
+        val k = RangeRouter.key(id, saltBuckets)
+        (tokens(RangeRouter.bucket(bBounds.value, k)), id, kernel(d))
       })
       .toDF("route", "doc_id", "spans")
       .repartition(n, $"route")

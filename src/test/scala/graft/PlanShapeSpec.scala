@@ -129,4 +129,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("HTML pipeline: identical shape — single exchange, kernel-first") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").as[Long]
+      .map(id => (id.toString, graft.extract.Html.synthesize(id)))
+    val p = graft.pipeline.Extraction.pipelineHtml(docs)
+      .queryExecution.executedPlan.toString
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
 }
