@@ -404,6 +404,12 @@ object SparkEntry {
       graft.plans.TopKPerKeyPlans.TopKPerKeyExtension.install(s)
       CurateOps.curate(s, t(s, dir, "documents"))
     }),
+    // Sequence packing (concat-and-chunk): per-source token streams cut
+    // into 256-token training windows via a DISTRIBUTED two-pass prefix
+    // sum (per-partition totals + broadcast offsets) — never a
+    // per-source window funnel. Oracle uses the window formulation.
+    "pack_chunks" -> ((s, dir) =>
+      graft.operators.PackOps.packChunks(s, t(s, dir, "documents"))),
 
     // ---- near-duplicate detection ----
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(s, t(s, dir, "documents"))),
@@ -1277,6 +1283,20 @@ object SparkEntry {
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
          |  FROM kept)
          |WHERE rnk <= 15""".stripMargin,
+
+    "pack_chunks" ->
+      s"""SELECT doc_id, source, toks, start_tok,
+         |  (start_tok // ${graft.operators.PackOps.Capacity})::BIGINT AS chunk_first,
+         |  ((start_tok + toks - 1) // ${graft.operators.PackOps.Capacity})::BIGINT AS chunk_last,
+         |  ((start_tok + toks - 1) // ${graft.operators.PackOps.Capacity}
+         |    - start_tok // ${graft.operators.PackOps.Capacity} + 1)::BIGINT AS n_chunks
+         |FROM (
+         |  SELECT doc_id, source, toks,
+         |    coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+         |  FROM (SELECT doc_id, source,
+         |          len(string_split(text, ' '))::BIGINT AS toks
+         |        FROM documents))""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes

@@ -38,10 +38,15 @@ object RangeRouter {
   private val keyOrd: Ordering[Key] = Ordering.Tuple2(Ordering.Long, Ordering.String)
 
   /** Deterministic per-partition reservoir sample of up to `k` keys. */
-  def reservoir(it: Iterator[Key], k: Int = 128): Iterator[Key] = {
+  def reservoir(it: Iterator[Key], k: Int = 128): Iterator[Key] =
+    reservoirOf(it, k)
+
+  /** [[reservoir]] over any key type (seeded by the task's partition). */
+  def reservoirOf[T](it: Iterator[T], k: Int = 128)
+                    (implicit ct: scala.reflect.ClassTag[T]): Iterator[T] = {
     val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
     val rng = new java.util.Random(pid * 2654435761L + 42L)
-    val buf = new Array[Key](k)
+    val buf = new Array[T](k)
     var seen = 0
     while (it.hasNext) {
       val key = it.next()
