@@ -474,6 +474,15 @@ object SparkEntry {
     "mm_pixels" -> ((s, dir) =>
       graft.operators.PixelOps.pixelParts(s, t(s, dir, "documents"))),
 
+    // mm_pixels at the reference's SHIPPED geometry (base 1024 /
+    // image 640, ref config.rs:89-90): the same real encode → decode →
+    // tiles → full-size bicubic global view, on a 1-per-2000-docs
+    // subset, hash-gated on every-64th-row slice checksums (the full
+    // fold is gated byte-complete by mm_pixels at small geometry; the
+    // slice keeps the DuckDB convolution replay tractable).
+    "mm_pixels_ref" -> ((s, dir) =>
+      graft.operators.PixelOps.pixelPartsRefGeom(s, t(s, dir, "documents"))),
+
     // S1 source end-to-end: media items materialized as real image files
     // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
     // dims parsed from the scanned bytes.
@@ -1671,6 +1680,91 @@ object SparkEntry {
          |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
          |  FROM canvas GROUP BY media_ref)
          |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+
+    "mm_pixels_ref" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents
+         |  WHERE doc_id % ${graft.operators.PixelOps.RefSubsetEvery} = 0),
+         |gl AS (
+         |  SELECT media_ref, rw, rh, s, 640*rw AS sw, 640*rh AS sh,
+         |    CASE WHEN rw >= rh THEN 1024 ELSE 512 END AS nw,
+         |    CASE WHEN rh >= rw THEN 1024 ELSE 512 END AS nh,
+         |    (1024 - CASE WHEN rw >= rh THEN 1024 ELSE 512 END) // 2 AS xoff,
+         |    (1024 - CASE WHEN rh >= rw THEN 1024 ELSE 512 END) // 2 AS yoff
+         |  FROM (
+         |    SELECT media_ref,
+         |      (${md5iSql("'qrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+         |      (${md5iSql("'qrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+         |      (${md5iSql("'px|' || media_ref")} % 251)::BIGINT AS s
+         |    FROM refs)),
+         |coefr(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValuesRef}),
+         |vsel AS (SELECT DISTINCT insz, outsz, si FROM coefr WHERE oi % 64 = 0),
+         |ys AS (
+         |  SELECT g.media_ref, v.si AS y
+         |  FROM gl g JOIN vsel v ON v.insz = g.sh AND v.outsz = g.nh
+         |  UNION
+         |  SELECT g.media_ref, gy.y
+         |  FROM gl g, LATERAL (SELECT unnest(generate_series(0, g.sh - 1)) AS y) gy
+         |  WHERE gy.y % 64 = 0),
+         |src AS (
+         |  SELECT y.media_ref, gx.x, y.y, ch.c,
+         |    CASE ch.c WHEN 0 THEN (7*gx.x + 13*y.y + g.s) % 256
+         |              WHEN 1 THEN (11*gx.x + 3*y.y + 2*g.s) % 256
+         |              ELSE (gx.x + y.y + 3*g.s) % 256 END AS val
+         |  FROM ys y
+         |  JOIN gl g ON g.media_ref = y.media_ref,
+         |    LATERAL (SELECT unnest(generate_series(0, g.sw - 1)) AS x) gx,
+         |    (SELECT unnest([0,1,2]) AS c) ch),
+         |hp AS (
+         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM src s
+         |  JOIN gl g ON s.media_ref = g.media_ref
+         |  JOIN vsel v ON v.insz = g.sh AND v.outsz = g.nh AND v.si = s.y
+         |  JOIN coefr t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+         |vp AS (
+         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM hp h
+         |  JOIN gl g ON h.media_ref = g.media_ref
+         |  JOIN coefr t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+         |    AND t.oi % 64 = 0
+         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+         |grid1024 AS (
+         |  SELECT gx.x, gy.y, ch.c
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS x) gx,
+         |       (SELECT unnest(generate_series(0, 1023)) AS y) gy,
+         |       (SELECT unnest([0,1,2]) AS c) ch
+         |  WHERE gy.y % 64 = 0),
+         |canvas AS (
+         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+         |  FROM gl g CROSS JOIN grid1024 p
+         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+         |    AND v.y = p.y - g.yoff AND v.c = p.c),
+         |tiles AS (
+         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 640 AS x0, (t.ti // m.rw) * 640 AS y0
+         |  FROM gl m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+         |tile_vals AS (
+         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+         |  FROM tiles t
+         |  JOIN src s ON s.media_ref = t.media_ref
+         |    AND s.x >= t.x0 AND s.x < t.x0 + 640
+         |    AND s.y >= t.y0 AND s.y < t.y0 + 640
+         |  WHERE (s.y - t.y0) % 64 = 0),
+         |tile_parts AS (
+         |  SELECT media_ref, 'tile_' || ti AS part, 640 AS width, 640 AS height,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM tile_vals GROUP BY media_ref, ti),
+         |global_parts AS (
+         |  SELECT media_ref, 'global' AS part, 1024 AS width, 1024 AS height,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM canvas GROUP BY media_ref)
+         |SELECT media_ref, part, width::BIGINT AS width, height::BIGINT AS height, pix_fp, norm_fp
          |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
 
     "mm_frames" ->

@@ -106,6 +106,76 @@ object PixelOps {
     rows.mkString(",")
   }
 
+  // ---------------------------------------------- reference geometry
+
+  /** The reference's SHIPPED geometry (ref crates/core/src/config.rs:
+    * 89-90): base_size 1024 (global view), image_size 640 (tiles).
+    */
+  val RefBase = 1024
+  val RefTile = 640
+  /** Row-slice stride for the full-geometry checksums (see
+    * [[graft.vision.PixelKernel.pixelChecksumRows]]). Divides both the
+    * 1024 canvas and the 256-aligned letterbox offsets, so sampled
+    * canvas rows land exactly on sampled resize-output rows.
+    */
+  val RowStride = 64
+  /** Full-geometry subset: one image per 2000 docs — each costs a real
+    * 1280²-scale encode/decode/convolve on both engines.
+    */
+  val RefSubsetEvery = 2000L
+
+  def refRatioW(ref: String): Int = (Hashing.md5i(s"qrw|$ref") % 2L + 1L).toInt
+  def refRatioH(ref: String): Int = (Hashing.md5i(s"qrh|$ref") % 2L + 1L).toInt
+
+  /** mm_pixels at the reference's shipped geometry: rule pixels sized
+    * exactly to the tile grid (so the ratio resize is the identity and
+    * the oracle replays tiles from the rule), REAL PNG encode → decode,
+    * 640² tile crops, and the 1024 letterboxed global view through the
+    * REAL full-size bicubic — with row-slice checksums (stride
+    * [[RowStride]]) gating byte parity per part.
+    */
+  def processRefGeom(ref: String): Seq[PixelPart] = {
+    val rw = refRatioW(ref); val rh = refRatioH(ref)
+    val src = rulePixels(ref, RefTile * rw, RefTile * rh)
+    val png = PixelKernel.encodePng(src, y => y % 5)
+    val dec = PixelKernel.decodePng(png)
+    val ratioSized = PixelKernel.resizeBicubic(dec, RefTile * rw, RefTile * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, RefTile)
+    val global = PixelKernel.buildGlobalView(dec, RefBase)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksumRows(t, RowStride),
+        PixelKernel.normChecksumRows(t, RowStride))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksumRows(global, RowStride),
+      PixelKernel.normChecksumRows(global, RowStride))
+  }
+
+  /** Fixed-point bicubic taps for the reference-geometry global view:
+    * (640→1024) upscale, (1280→1024) and (640→512) downscale — the only
+    * pairs the {1,2}×{1,2} tile grids can produce.
+    */
+  def coeffSqlValuesRef: String = {
+    val pairs = Seq((640, 1024), (1280, 1024), (640, 512))
+    val rows = for {
+      (in, out) <- pairs
+      (tap, oi) <- PixelKernel.computeCoeffs(in, out).zipWithIndex.toSeq
+      (w, j) <- tap.weights.zipWithIndex.toSeq
+      if w != 0
+    } yield s"($in,$out,$oi,${tap.xmin + j},$w)"
+    rows.mkString(",")
+  }
+
+  /** Driver query (full geometry): one row per (subset image, part). */
+  def pixelPartsRefGeom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val refs = docs.filter(col("doc_id") % RefSubsetEvery === 0)
+      .select(concat(lit("img://"), col("doc_id").cast("string"),
+        lit("/0")).as("media_ref"))
+    refs.as[String].mapPartitions(_.flatMap(processRefGeom)).toDF()
+  }
+
   /** Driver query: one row per (media item in subset, part). */
   def pixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

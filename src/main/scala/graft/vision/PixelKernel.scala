@@ -380,6 +380,53 @@ object PixelKernel {
     acc
   }
 
+  /** [[pixelChecksum]] restricted to rows `y % stride == 0` — the
+    * full-geometry queries gate a deterministic row slice so the DuckDB
+    * replay stays tractable (a full 1024² fold is ~6 s per image in
+    * SQL); the sampled rows are computed by the same convolution as the
+    * rest, and the 16-px oracle gates every byte at small geometry.
+    */
+  def pixelChecksumRows(img: Rgb, stride: Int): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < img.h) {
+      if (y % stride == 0) {
+        var i = y * img.w * 3
+        val end = (y + 1) * img.w * 3
+        while (i < end) {
+          acc = (acc * 31 + (img.data(i) & 0xffL)) % FpMod
+          i += 1
+        }
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** [[normChecksum]] restricted to rows `y % stride == 0` (CHW order
+    * over the sampled rows).
+    */
+  def normChecksumRows(img: Rgb, stride: Int): Long = {
+    var acc = 0L
+    var c = 0
+    while (c < 3) {
+      var y = 0
+      while (y < img.h) {
+        if (y % stride == 0) {
+          var x = 0
+          while (x < img.w) {
+            val v = img.data((y * img.w + x) * 3 + c) & 0xffL
+            acc = (acc * 31 + (2 * v)) % FpMod
+            x += 1
+          }
+        }
+        y += 1
+      }
+      c += 1
+    }
+    acc
+  }
+
   /** Polynomial fold over the NORMALIZED tensor in CHW planar order,
     * using exact integer numerators: (v/255 − 0.5)/0.5 = (2v − 255)/255,
     * folded as the non-negative 2v (offset +255 cancels the constant) —

@@ -28,6 +28,48 @@ class PixelRefGeomSpec extends AnyFunSuite {
     assert(PixelKernel.pixelChecksum(dec) == PixelKernel.pixelChecksum(src))
   }
 
+  test("row-slice checksums at stride 1 equal the full folds") {
+    assert(PixelKernel.pixelChecksumRows(dec, 1) == PixelKernel.pixelChecksum(dec))
+    assert(PixelKernel.normChecksumRows(dec, 1) == PixelKernel.normChecksum(dec))
+  }
+
+  test("processRefGeom covers all four tile grids with ref-geometry parts") {
+    val combos = scala.collection.mutable.Map.empty[(Int, Int), String]
+    var i = 0
+    while (combos.size < 4 && i < 400) {
+      val ref = s"img://$i/0"
+      combos.getOrElseUpdate((PixelOps.refRatioW(ref), PixelOps.refRatioH(ref)), ref)
+      i += 1
+    }
+    assert(combos.size == 4, "need refs exercising every {1,2}x{1,2} grid")
+    combos.foreach { case ((rw, rh), ref) =>
+      val parts = PixelOps.processRefGeom(ref)
+      assert(parts.length == rw * rh + 1, s"grid ${rw}x$rh")
+      val tiles = parts.filter(_.part.startsWith("tile_"))
+      assert(tiles.forall(p => p.width == 640 && p.height == 640))
+      val g = parts.last
+      assert(g.part == "global" && g.width == 1024 && g.height == 1024)
+      // tile_0 of the identity-ratio source is the rule crop itself:
+      // replay its sliced pixel fold straight from the closed form
+      val s = (graft.functions.Hashing.md5i(s"px|$ref") % 251L).toInt
+      var acc = 0L
+      var y = 0
+      while (y < 640) {
+        if (y % PixelOps.RowStride == 0) {
+          var x = 0
+          while (x < 640) {
+            acc = (acc * 31 + (7 * x + 13 * y + s) % 256) % 1000000007L
+            acc = (acc * 31 + (11 * x + 3 * y + 2 * s) % 256) % 1000000007L
+            acc = (acc * 31 + (x + y + 3 * s) % 256) % 1000000007L
+            x += 1
+          }
+        }
+        y += 1
+      }
+      assert(tiles.head.pix_fp == acc, s"grid ${rw}x$rh tile_0 rule replay")
+    }
+  }
+
   test("640-px ratio resize and tile crops (2x1)") {
     val sized = PixelKernel.resizeBicubic(dec, 2 * ImageSize, ImageSize)
     val tiles = PixelKernel.cropTiles(sized, ImageSize)
