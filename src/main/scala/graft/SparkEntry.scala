@@ -142,6 +142,17 @@ object SparkEntry {
                 $"sp.order".cast("long").as("ord"))
     }),
 
+    // Rendered markdown for the HTML pipeline (the result.mmd analog of
+    // ext_markdown, over the HTML front door) — every doc, including
+    // ones whose blocks are all boilerplate (empty markdown).
+    "ext_html_md" -> ((s, dir) => {
+      import s.implicits._
+      val htmlDocs = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => (id.toString, graft.extract.Html.synthesize(id)))
+      graft.pipeline.Extraction.pipelineHtml(htmlDocs)
+        .select($"doc_id", $"markdown".as("md"))
+    }),
+
     // Rendered page markdown (analog of result.mmd equality,
     // /root/reference/crates/core/tests/baseline.rs:700-705).
     "ext_markdown" -> ((s, dir) => {
@@ -410,6 +421,11 @@ object SparkEntry {
     // per-source window funnel. Oracle uses the window formulation.
     "pack_chunks" -> ((s, dir) =>
       graft.operators.PackOps.packChunks(s, t(s, dir, "documents"))),
+    // Token-budget corpus mixing: per-source quota sampling in a
+    // deterministic md5i order, running total via the same distributed
+    // prefix-sum scan (PrefixSum.exclusive) as pack_chunks.
+    "mix_budget" -> ((s, dir) =>
+      graft.operators.MixOps.tokenBudget(s, t(s, dir, "documents"))),
 
     // ---- near-duplicate detection ----
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(s, t(s, dir, "documents"))),
@@ -851,6 +867,31 @@ object SparkEntry {
          |SELECT doc_id::VARCHAR AS doc_id, kind, text, media_ref,
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
          |FROM b""".stripMargin,
+
+    "ext_html_md" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents)),
+         |b AS (
+         |  SELECT doc_id, i, 0 AS cell,
+         |    CASE WHEN k = 5 THEN '![](images/' || doc_id || '_' || i || '.png)'
+         |         WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
+         |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         ELSE 'c' || doc_id || '_' || i || '_0' END AS frag
+         |  FROM r WHERE k IN (0, 1, 2, 5, 6)
+         |  UNION ALL
+         |  SELECT doc_id, i, 1, 'c' || doc_id || '_' || i || '_1'
+         |  FROM r WHERE k = 6),
+         |m AS (
+         |  SELECT doc_id,
+         |    string_agg(frag, chr(10) || chr(10) ORDER BY i, cell) AS md
+         |  FROM b GROUP BY doc_id)
+         |SELECT d.doc_id::VARCHAR AS doc_id, coalesce(m.md, '') AS md
+         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin,
 
     "ext_spans_full" ->
       """WITH w AS (
@@ -1304,6 +1345,19 @@ object SparkEntry {
          |    coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
          |  FROM (SELECT doc_id, source,
+         |          len(string_split(text, ' '))::BIGINT AS toks
+         |        FROM documents))""".stripMargin,
+
+    "mix_budget" ->
+      s"""SELECT doc_id, source, toks, start_tok,
+         |  (CASE WHEN start_tok + toks <= ${graft.operators.MixOps.BudgetPerSource}
+         |        THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM (
+         |  SELECT doc_id, source, toks,
+         |    coalesce(sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+         |  FROM (SELECT doc_id, source,
+         |          ${md5iSql("'mx|' || doc_id")} AS ord,
          |          len(string_split(text, ' '))::BIGINT AS toks
          |        FROM documents))""".stripMargin,
 

@@ -52,90 +52,23 @@ object PackOps {
     */
   val Capacity = 256
 
-  private type SKey = (String, Long) // (source, doc_id), ordering source-major
-  private val skeyOrd: Ordering[SKey] =
-    Ordering.Tuple2(Ordering.String, Ordering.Long)
-
-  /** n-1 ascending boundary keys from the sorted sample (quantiles). */
-  private def boundariesOf(sample: Array[SKey], n: Int): Array[SKey] = {
-    if (sample.isEmpty || n <= 1) return Array.empty
-    val sorted = sample.sorted(skeyOrd)
-    (1 until n).map { i =>
-      sorted(math.min(sorted.length - 1, i * sorted.length / n))
-    }.distinct.toArray
-  }
-
-  /** Shard = number of boundaries <= key (binary search). */
-  private def shardOf(bounds: Array[SKey], k: SKey): Int = {
-    var lo = 0
-    var hi = bounds.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (skeyOrd.lteq(bounds(mid), k)) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
   /** (doc_id, source, toks, start_tok, chunk_first, chunk_last,
     * n_chunks) per document; token count is the whitespace split
     * (DuckDB `len(string_split(text, ' '))`, trailing empties kept).
+    * Stream order within a source is doc_id-ascending (ord = doc_id).
     */
   def packChunks(spark: SparkSession, docs: DataFrame,
                  capacity: Int = Capacity, parts: Int = 0): DataFrame = {
     import spark.implicits._
-    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
-    val toks = docs.select($"doc_id", $"source",
+    val toks = docs.select($"doc_id", $"source", $"doc_id".as("ord"),
       size(split($"text", " ", -1)).cast("long").as("toks"))
-      .as[(Long, String, Long)]
-    // bounded boundary sample over the narrow 3-column frame (the
-    // RangeRouter discipline: sample keys, never re-execute upstream)
-    val sample = toks.mapPartitions { it =>
-      graft.pipeline.RangeRouter.reservoirOf(
-        it.map { case (id, src, _) => (src, id) })
-    }.collect()
-    val bounds = boundariesOf(sample, n)
-    val bBounds = spark.sparkContext.broadcast(bounds)
-    // shard as an explicit column; hash-partition by shard (one shard →
-    // one partition) and sort so each (shard, source) group is contiguous
-    val sharded = DedupOps.persistSlot("pack",
-      toks.map { case (id, src, tk) =>
-        (shardOf(bBounds.value, (src, id)), id, src, tk)
-      }.toDF("shard", "doc_id", "source", "toks")
-        .repartition(n, $"shard")
-        .sortWithinPartitions($"shard", $"source", $"doc_id")
-        .as[(Int, Long, String, Long)])
-    // pass A: tiny per-(shard, source) totals
-    val totals = sharded.toDF("shard", "doc_id", "source", "toks")
-      .groupBy($"shard", $"source")
-      .agg(sum($"toks").as("t"))
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    // exclusive prefix over shard order, per source
-    val offsets = new java.util.HashMap[(Int, String), Long]()
-    totals.groupBy(_._2).foreach { case (src, rows) =>
-      var acc = 0L
-      rows.sortBy(_._1).foreach { case (sh, _, t) =>
-        offsets.put((sh, src), acc)
-        acc += t
-      }
-    }
-    val bOff = spark.sparkContext.broadcast(offsets)
+      .as[graft.pipeline.PrefixSum.Row]
     val cap = capacity.toLong
-    sharded.mapPartitions { it =>
-      var curShard = -1
-      var curSource: String = null
-      var run = 0L
-      it.map { case (sh, id, src, tk) =>
-        if (sh != curShard || src != curSource) {
-          curShard = sh
-          curSource = src
-          run = bOff.value.getOrDefault((sh, src), 0L)
-        }
-        val start = run
-        run += tk
+    graft.pipeline.PrefixSum.exclusive(toks, parts, slotKey = "pack")
+      .map { case (id, src, _, tk, start) =>
         (id, src, tk, start, start / cap, (start + tk - 1) / cap)
       }
-    }.toDF("doc_id", "source", "toks", "start_tok", "chunk_first", "chunk_last")
+      .toDF("doc_id", "source", "toks", "start_tok", "chunk_first", "chunk_last")
       .withColumn("n_chunks", $"chunk_last" - $"chunk_first" + lit(1L))
   }
 }

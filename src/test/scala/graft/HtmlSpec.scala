@@ -94,6 +94,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extract(h) == Vector(Block("figure", "intro out", "a.png", 0, 0)))
   }
 
+  test("fuzz: arbitrary garbage never throws and always terminates") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val fragment = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("<", ">", "</", "<!--", "-->", "&", "&#", "&amp;", ";", "\"",
+        "'", "=", "/", "<p", "<p>", "</p>", "<script>", "</script>",
+        "<a href=", "<img src=\"", "<!doctype", "<div data-x=\"a>b\">"),
+      Gen.listOf(Gen.choose(' ', 'ÿ')).map(_.mkString))
+    val doc = Gen.listOfN(24, fragment).map(_.mkString)
+    val prop = Prop.forAll(doc) { s =>
+      val out = Html.extract(s) // must not throw, must not hang
+      out.forall(b => b.kind.nonEmpty && b.denMilli >= 0)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("synthesize -> extract inverts the closed-form rule") {
     for (id <- 0L until 40L) {
       val got = Html.extract(Html.synthesize(id))

@@ -76,6 +76,31 @@ class PackSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mix_budget: greedy hash-order quota, window-formulation parity") {
+    import spark.implicits._
+    val got = graft.operators.MixOps.tokenBudget(spark, docs)
+      .orderBy("source", "doc_id").collect().toSeq
+    val w = Window.partitionBy($"source")
+      .orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .select($"doc_id", $"source",
+        graft.functions.Hashing.md5iCol(
+          concat(lit("mx|"), $"doc_id".cast("string"))).as("ord"),
+        size(split($"text", " ", -1)).cast("long").as("toks"))
+      .withColumn("start_tok", coalesce(sum($"toks").over(w), lit(0L)))
+      .withColumn("kept",
+        when($"start_tok" + $"toks" <= graft.operators.MixOps.BudgetPerSource, 1L)
+          .otherwise(0L))
+      .select("doc_id", "source", "toks", "start_tok", "kept")
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(got == want)
+    // both kept and cut docs must exist for the quota to mean anything
+    val keptCounts = got.groupBy(_.getString(1))
+      .map { case (_, rs) => rs.count(_.getLong(4) == 1L) }
+    assert(keptCounts.exists(_ > 0) && got.exists(_.getLong(4) == 0L))
+  }
+
   test("no window funnel; pass B is narrow above the cached shard layout") {
     val p = PackOps.packChunks(spark, docs)
       .queryExecution.executedPlan.toString
