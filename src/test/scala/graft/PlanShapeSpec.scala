@@ -130,6 +130,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("bucketed co-located join: zero exchange, bucket-pruned scan sides") {
+    import spark.implicits._
+    // the 100 TB join discipline: two fact tables bucketed on the join
+    // key join WITHOUT any shuffle — broadcast disabled so the test
+    // proves bucket co-location, not small-table luck
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"/dev/shm/graft-bucketed-$name")
+        .mode("overwrite").saveAsTable(s"graft_bucket_$name")
+    writeBucketed(docs.select($"doc_id", $"text", $"source"), "a")
+    writeBucketed(docs.select($"doc_id", $"n_chars"), "b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "doc_id")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(j.count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("HTML pipeline: identical shape — single exchange, kernel-first") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
