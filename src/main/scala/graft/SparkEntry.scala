@@ -823,14 +823,14 @@ object SparkEntry {
          |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
          |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
          |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
-         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end'
          |         WHEN k = 5 THEN 'fig ' || i
          |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
          |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
          |         ELSE '' END AS media_ref,
          |    CASE WHEN k = 2 THEN
          |      (1000 * length('L' || doc_id || '_' || i))
-         |        // length('see L' || doc_id || '_' || i || ' t' || i || ' end')
+         |        // length('see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end')
          |      ELSE 0 END AS den,
          |    CASE WHEN k = 0 THEN lvl ELSE 0 END AS lvl_out
          |  FROM r WHERE k IN (0, 1, 2, 5, 6)
@@ -855,7 +855,7 @@ object SparkEntry {
          |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
          |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
          |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
-         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end'
          |         WHEN k = 5 THEN 'fig ' || i
          |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
          |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
@@ -880,7 +880,7 @@ object SparkEntry {
          |    CASE WHEN k = 5 THEN '![](images/' || doc_id || '_' || i || '.png)'
          |         WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
          |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
-         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' end'
+         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end'
          |         ELSE 'c' || doc_id || '_' || i || '_0' END AS frag
          |  FROM r WHERE k IN (0, 1, 2, 5, 6)
          |  UNION ALL

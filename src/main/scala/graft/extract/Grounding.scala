@@ -56,9 +56,11 @@ object Grounding {
         val dEnd = if (dStart >= 0) decoded.indexOf(DetClose, dStart) else -1
         if (dStart == tEnd + RefClose.length && dEnd > dStart) {
           val boxes = decoded.substring(dStart + DetOpen.length, dEnd)
+          // non-integer or wrong-arity coordinates degrade to a skipped
+          // ref (never a thrown NumberFormatException killing the task)
           val first = boxes.dropWhile(c => c == '[' || c == ' ')
             .takeWhile(_ != ']')
-            .split(',').map(_.trim.toInt)
+            .split(',').flatMap(t => t.trim.toIntOption)
           if (first.length == 4) {
             val isImage = text == "image"
             val frag =

@@ -69,34 +69,30 @@ object PixelOps {
   final case class PixelPart(media_ref: String, part: String, width: Long,
                              height: Long, pix_fp: Long, norm_fp: Long)
 
-  /** Per-image pipeline: rule → PNG encode → REAL decode → ratio resize +
-    * tiles + global view → per-part pixel/normalized checksums.
+  /** Shared per-image pipeline: rule → PNG encode → REAL decode (inflate
+    * + unfilter) → ratio resize + tile crops + letterboxed global view →
+    * per-part checksums. Both geometries (scaled test, reference) are
+    * instances with different sizes and checksum fns.
     */
-  def processRef(ref: String): Seq[PixelPart] = {
-    val rw = ratioW(ref); val rh = ratioH(ref)
-    val src = rulePixels(ref, TileSize * rw, TileSize * rh)
-    val png = PixelKernel.encodePng(src, y => y % 5)
-    val dec = PixelKernel.decodePng(png) // real inflate + unfilter
-    val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
-    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
-    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+  private def process(ref: String, tile: Int, base: Int, rw: Int, rh: Int,
+                      pixFp: Rgb => Long, normFp: Rgb => Long): Seq[PixelPart] = {
+    val src = rulePixels(ref, tile * rw, tile * rh)
+    val dec = PixelKernel.decodePng(PixelKernel.encodePng(src, y => y % 5))
+    val ratioSized = PixelKernel.resizeBicubic(dec, tile * rw, tile * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, tile)
+    val global = PixelKernel.buildGlobalView(dec, base)
     val tileParts = tiles.zipWithIndex.map { case (t, i) =>
-      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
-        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong, pixFp(t), normFp(t))
     }
     tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
-      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+      pixFp(global), normFp(global))
   }
 
-  /** Fixed-point bicubic taps for every (in, out) size pair the pixel
-    * geometry can produce, as SQL VALUES rows (insz, outsz, oi, si, w) —
-    * nonzero weights only. Embedded into the DuckDB oracle at build time:
-    * the tables are shared spec constants (Pillow's quantized kernel);
-    * the convolution, clipping, letterbox and checksums are replayed
-    * independently.
+  /** Fixed-point bicubic taps for the given (in, out) size pairs, as SQL
+    * VALUES rows (insz, outsz, oi, si, w) — nonzero weights only; shared
+    * spec constants embedded into the oracle at build time.
     */
-  def coeffSqlValues: String = {
-    val pairs = Seq((16, 8), (32, 16), (16, 16))
+  private def coeffValues(pairs: Seq[(Int, Int)]): String = {
     val rows = for {
       (in, out) <- pairs
       (tap, oi) <- PixelKernel.computeCoeffs(in, out).zipWithIndex.toSeq
@@ -105,6 +101,14 @@ object PixelOps {
     } yield s"($in,$out,$oi,${tap.xmin + j},$w)"
     rows.mkString(",")
   }
+
+  /** Per-image pipeline at scaled test geometry, full-fold checksums. */
+  def processRef(ref: String): Seq[PixelPart] =
+    process(ref, TileSize, BaseSize, ratioW(ref), ratioH(ref),
+      PixelKernel.pixelChecksum, PixelKernel.normChecksum)
+
+  /** Taps for every (in, out) pair the scaled test geometry produces. */
+  def coeffSqlValues: String = coeffValues(Seq((16, 8), (32, 16), (16, 16)))
 
   // ---------------------------------------------- reference geometry
 
@@ -134,38 +138,17 @@ object PixelOps {
     * REAL full-size bicubic — with row-slice checksums (stride
     * [[RowStride]]) gating byte parity per part.
     */
-  def processRefGeom(ref: String): Seq[PixelPart] = {
-    val rw = refRatioW(ref); val rh = refRatioH(ref)
-    val src = rulePixels(ref, RefTile * rw, RefTile * rh)
-    val png = PixelKernel.encodePng(src, y => y % 5)
-    val dec = PixelKernel.decodePng(png)
-    val ratioSized = PixelKernel.resizeBicubic(dec, RefTile * rw, RefTile * rh)
-    val tiles = PixelKernel.cropTiles(ratioSized, RefTile)
-    val global = PixelKernel.buildGlobalView(dec, RefBase)
-    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
-      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
-        PixelKernel.pixelChecksumRows(t, RowStride),
-        PixelKernel.normChecksumRows(t, RowStride))
-    }
-    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
-      PixelKernel.pixelChecksumRows(global, RowStride),
-      PixelKernel.normChecksumRows(global, RowStride))
-  }
+  def processRefGeom(ref: String): Seq[PixelPart] =
+    process(ref, RefTile, RefBase, refRatioW(ref), refRatioH(ref),
+      PixelKernel.pixelChecksumRows(_, RowStride),
+      PixelKernel.normChecksumRows(_, RowStride))
 
-  /** Fixed-point bicubic taps for the reference-geometry global view:
-    * (640→1024) upscale, (1280→1024) and (640→512) downscale — the only
-    * pairs the {1,2}×{1,2} tile grids can produce.
+  /** Taps for the reference-geometry global view: (640→1024) upscale,
+    * (1280→1024) and (640→512) downscale — the only pairs the
+    * {1,2}×{1,2} tile grids can produce.
     */
-  def coeffSqlValuesRef: String = {
-    val pairs = Seq((640, 1024), (1280, 1024), (640, 512))
-    val rows = for {
-      (in, out) <- pairs
-      (tap, oi) <- PixelKernel.computeCoeffs(in, out).zipWithIndex.toSeq
-      (w, j) <- tap.weights.zipWithIndex.toSeq
-      if w != 0
-    } yield s"($in,$out,$oi,${tap.xmin + j},$w)"
-    rows.mkString(",")
-  }
+  def coeffSqlValuesRef: String =
+    coeffValues(Seq((640, 1024), (1280, 1024), (640, 512)))
 
   /** Driver query (full geometry): one row per (subset image, part). */
   def pixelPartsRefGeom(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -43,7 +43,9 @@ object PrefixSum {
     if (sample.isEmpty || n <= 1) return Array.empty
     val sorted = sample.sorted(skeyOrd)
     (1 until n).map { i =>
-      sorted(math.min(sorted.length - 1, i * sorted.length / n))
+      // Long quantile index: i * length overflows Int once the
+      // sample × shard-count product passes 2^31
+      sorted(math.min(sorted.length - 1L, i.toLong * sorted.length / n).toInt)
     }.distinct.toArray
   }
 
@@ -57,6 +59,15 @@ object PrefixSum {
     lo
   }
 
+  /** Driver-sample budget: same discipline as [[Extraction.SampleBudget]]
+    * — the collect must stay bounded regardless of input split count
+    * (~800k splits × an uncapped 128-key reservoir would put ~100M
+    * tuples on the driver).
+    */
+  val SampleBudget = 100000
+  val SampleGroups = 64
+  val MinQuota = 8
+
   /** `slotKey` names the persist slot for the sharded layout (one live
     * cache per caller — see [[graft.operators.DedupOps.persistSlot]]).
     */
@@ -65,9 +76,22 @@ object PrefixSum {
     val spark = rows.sparkSession
     import spark.implicits._
     val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
-    val sample = rows.mapPartitions { it =>
-      RangeRouter.reservoirOf(it.map { case (_, g, o, _) => (g, o) })
-    }.collect()
+    // sampling reads ONLY (group, ord): the projection lets Catalyst
+    // prune the weight expression (often a full tokenization) out of
+    // this pass, so the corpus pays it once, in the sharded layout
+    val keys = rows.toDF("id", "grp", "ord", "w")
+      .select($"grp", $"ord").as[SKey]
+    val numParts = math.max(1, keys.rdd.getNumPartitions)
+    val quota = math.max(MinQuota, SampleBudget / numParts)
+    val firstLevel = keys.mapPartitions(it => RangeRouter.reservoirOf(it, quota))
+    val sample =
+      if (numParts.toLong * quota <= 2L * SampleBudget) firstLevel.collect()
+      else {
+        val groupQuota = math.max(MinQuota, SampleBudget / SampleGroups)
+        firstLevel.coalesce(SampleGroups)
+          .mapPartitions(it => RangeRouter.reservoirOf(it, groupQuota))
+          .collect()
+      }
     val bounds = boundariesOf(sample, n)
     val bBounds = spark.sparkContext.broadcast(bounds)
     val sharded = graft.operators.DedupOps.persistSlot(slotKey,

@@ -65,7 +65,9 @@ object RangeRouter {
     if (sample.isEmpty || n <= 1) return Array.empty
     val sorted = sample.sorted(keyOrd)
     (1 until n).map { i =>
-      sorted(math.min(sorted.length - 1, i * sorted.length / n))
+      // Long quantile index: i * length overflows Int once the
+      // sample × partition-count product passes 2^31
+      sorted(math.min(sorted.length - 1L, i.toLong * sorted.length / n).toInt)
     }.distinct.toArray
   }
 

@@ -21,6 +21,9 @@ class GroundingSpec extends AnyFunSuite {
     assert(Grounding.parse("<|ref|>orphan<|/ref|> no det here") == Seq.empty)
     assert(Grounding.parse("<|ref|>t<|/ref|><|det|>[[1, 2]]<|/det|>") == Seq.empty)
     assert(Grounding.parse("<|ref|>t<|/ref|><|det|>[[1, 2, 3, 4") == Seq.empty)
+    assert(Grounding.parse("<|ref|>t<|/ref|><|det|>[]<|/det|>") == Seq.empty)
+    assert(Grounding.parse("<|ref|>t<|/ref|><|det|>[[a, b, c, d]]<|/det|>") == Seq.empty)
+    assert(Grounding.parse("<|ref|>t<|/ref|><|det|>[[1, 2.5, 3, 4]]<|/det|>") == Seq.empty)
   }
 
   test("reading order: XY-cut over det boxes, not stream order") {

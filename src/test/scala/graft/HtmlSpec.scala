@@ -112,8 +112,21 @@ class HtmlSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("raw-text closer requires a name boundary: </scripts> does not close <script>") {
+    val h = "<p>a</p><script>x</scripts>y</script><p>b</p>"
+    assert(Html.extract(h).map(_.text) == Vector("a", "b"))
+  }
+
+  test("numeric entities decode in attribute values; surrogate refs degrade to literal") {
+    val h = "<figure><img src=\"a&#47;b.png\"/></figure>"
+    assert(Html.extract(h) == Vector(Block("figure", "", "a/b.png", 0, 0)))
+    val Vector(s) = Html.extract("<p>x &#55296; y</p>")
+    assert(s.text == "x &#55296; y") // lone UTF-16 surrogate rejected
+  }
+
   test("synthesize -> extract inverts the closed-form rule") {
-    for (id <- 0L until 40L) {
+    for (id <- (0L until 40L) ++
+         Seq(9999999L, 10000000L, 987654321L, 123456789012345678L)) {
       val got = Html.extract(Html.synthesize(id))
       val want = Vector.newBuilder[Block]
       (0 until Html.blockCount(id)).foreach { i =>
@@ -122,7 +135,7 @@ class HtmlSpec extends AnyFunSuite {
           case 1 => want += Block("paragraph", s"p${id}_$i x!", "", 0, 0)
           case 2 =>
             val link = s"L${id}_$i"
-            val text = s"see $link t$i end"
+            val text = s"see $link t$i of ordinary running prose end"
             want += Block("paragraph", text, "", 1000L * link.length / text.length, 0)
           case 3 | 4 => // dropped: link farm / nav context
           case 5 => want += Block("figure", s"fig $i", s"images/${id}_$i.png", 0, 0)
