@@ -182,6 +182,13 @@ object SparkEntry {
     "ext_stream_counts" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamExtractCounts(s, dir)),
 
+    // The HTML front door under continuous ingestion: 3 staged HTML
+    // files → 3 real micro-batches through the streaming tokenizer →
+    // idempotent commits → manifest read-back (poisoned batch-0 replay
+    // asserted in-query).
+    "ext_html_stream" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamHtmlCounts(s, dir)),
+
     // Progress-callback / bench-recorder surface (SURVEY §2.10) under the
     // hash gate: the named LongAccumulators updated inside the metered
     // kernel loop must equal the closed-form doc/span totals — n_docs,
@@ -988,6 +995,18 @@ object SparkEntry {
         |          + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
         |          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_spans
         |FROM w""".stripMargin,
+
+    "ext_html_stream" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, i,
+         |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+         |        FROM documents))
+         |SELECT doc_id::VARCHAR AS doc_id,
+         |  CAST(sum(CASE WHEN k IN (0, 1, 2, 5) THEN 1
+         |                WHEN k = 6 THEN 2 ELSE 0 END) AS BIGINT) AS n_spans
+         |FROM r GROUP BY doc_id""".stripMargin,
 
     "ext_headings" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,

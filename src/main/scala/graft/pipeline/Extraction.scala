@@ -153,13 +153,19 @@ object Extraction {
     * This is the north star's "boilerplate stripping over a streaming DOM
     * tokenizer" as a DISTRIBUTED path, not just a per-row kernel.
     */
+  /** HTML → ordered spans: the [[graft.extract.Html]] kernel's block
+    * stream mapped into the span model (shared by the batch pipeline,
+    * the streaming path, and the driver queries).
+    */
+  def htmlSpans(html: String): IndexedSeq[ExtractedSpan] =
+    graft.extract.Html.extract(html).zipWithIndex.map { case (b, i) =>
+      ExtractedSpan(b.kind, b.text, b.mediaRef, i)
+    }
+
   def pipelineHtml(docs: Dataset[(String, String)], shufflePartitions: Int = 0,
                    saltBuckets: Int = 64): Dataset[ExtractedDoc] =
     pipelineWith(docs, (_: (String, String))._1,
-      (d: (String, String)) => graft.extract.Html.extract(d._2)
-        .zipWithIndex.map { case (b, i) =>
-          ExtractedSpan(b.kind, b.text, b.mediaRef, i)
-        },
+      (d: (String, String)) => htmlSpans(d._2),
       shufflePartitions, saltBuckets)
 
   /** Generic pipeline body: any document type, any narrow span kernel.
@@ -204,13 +210,22 @@ object Extraction {
     * of doc_id mod buckets, computed in the kernel so it survives any
     * repartitioning.
     */
-  def extractRows(docs: Dataset[Doc], buckets: Int): Dataset[ExtractedRow] = {
+  def extractRows(docs: Dataset[Doc], buckets: Int): Dataset[ExtractedRow] =
+    extractRowsWith(docs, (_: Doc).doc_id, Kernel.extractSpans, buckets)
+
+  /** [[extractRows]] over any document type and span kernel (the
+    * pipelineWith analog for the resumable-write row shape).
+    */
+  def extractRowsWith[T](docs: Dataset[T], idOf: T => String,
+                         kernel: T => IndexedSeq[ExtractedSpan],
+                         buckets: Int): Dataset[ExtractedRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedRow]
     docs.mapPartitions(_.map { doc =>
-      val e = Kernel.extract(doc)
-      ExtractedRow(e.doc_id, e.spans, e.markdown,
-        bucketOf(e.doc_id, buckets), e.spans.size, e.markdown.length.toLong,
-        Kernel.checksum(e))
+      val id = idOf(doc)
+      val spans = kernel(doc)
+      val md = Kernel.renderMarkdown(spans)
+      ExtractedRow(id, spans, md, bucketOf(id, buckets), spans.size,
+        md.length.toLong, Kernel.checksum(ExtractedDoc(id, spans, md)))
     })
   }
 

@@ -21,6 +21,11 @@ final case class Span(
 
 final case class Doc(doc_id: String, spans: Seq[Span])
 
+/** Raw-HTML document row — the [[Doc]] analog for the HTML front door
+  * ([[graft.extract.Html]] tokenizes it into [[ExtractedSpan]]s).
+  */
+final case class HtmlDoc(doc_id: String, html: String)
+
 /** Output span: extraction-assigned kind, cleaned text, propagated
   * media_ref, dense reading order (0..n-1 per doc).
   */

@@ -97,6 +97,66 @@ object StreamingExtract {
      else writer).start()
   }
 
+  /** [[extractStream]] for the HTML front door: the stream's rows are
+    * raw (doc_id, html) and the kernel is the [[graft.extract.Html]]
+    * tokenizer (via Extraction.htmlSpans) — same idempotent per-batch
+    * commits, same manifest-listed read-back.
+    */
+  def extractHtmlStream(spark: SparkSession, srcDir: String, outDir: String,
+                        checkpoint: String, maxFilesPerTrigger: Int = 4,
+                        availableNow: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[graft.schema.HtmlDoc].schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(srcDir)
+      .as[graft.schema.HtmlDoc]
+    val writer = graft.pipeline.Extraction
+      .extractRowsWith(docs, (_: graft.schema.HtmlDoc).doc_id,
+        (d: graft.schema.HtmlDoc) => graft.pipeline.Extraction.htmlSpans(d.html),
+        buckets = 16)
+      .writeStream
+      .foreachBatch {
+        (batch: Dataset[graft.pipeline.Extraction.ExtractedRow], id: Long) =>
+          graft.pipeline.TableIO.appendBatchIdempotent(batch, outDir, id)
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Continuous HTML ingestion end-to-end under the hash gate: 3 staged
+    * files of synthesized spec-idiom HTML → 3 real micro-batches through
+    * the REAL tokenizer → idempotent commits → manifest read-back, with
+    * the poisoned batch-0 replay asserted in-query (as in
+    * [[streamExtractCounts]]).
+    */
+  def streamHtmlCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val html = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id").as[Long]
+      .map(id => graft.schema.HtmlDoc(id.toString,
+        graft.extract.Html.synthesize(id)))
+    val df = html.toDF()
+    val part = expr("CAST(doc_id AS BIGINT) % 3")
+    val src = stageOrderedParts(spark, (0 until 3).map(i => df.filter(part === i)))
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-html").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-html-ck").toString
+    val q = extractHtmlStream(spark, src, out, ckpt,
+      maxFilesPerTrigger = 1, availableNow = true)
+    q.awaitTermination()
+    val poison = graft.pipeline.Extraction.extractRowsWith(
+      html.filter(lit(false)), (_: graft.schema.HtmlDoc).doc_id,
+      (d: graft.schema.HtmlDoc) => graft.pipeline.Extraction.htmlSpans(d.html),
+      buckets = 16)
+    val replayed = graft.pipeline.TableIO.appendBatchIdempotent(poison, out, 0L)
+    require(!replayed, "batch 0 replay must be detected as already committed")
+    graft.pipeline.TableIO.readCommittedBatches(spark, out)
+      .select($"doc_id", $"span_count".cast("long").as("n_spans"))
+  }
+
   /** Driver query for the continuous DOCUMENT-ingestion path end-to-end
     * (the ev_stream_* queries cover the events pipeline; this one puts
     * extractStream → appendBatchIdempotent → readCommittedBatches under
