@@ -231,13 +231,18 @@ object Bench {
     // proportionally noisier so they get more repetitions.
     val bestByLevel = scala.collection.mutable.Map
       .empty[Int, (Long, Long, Double)]
+    // every raw rep per level lands in the JSON: a sub-0.8 draw is
+    // diagnosable (turbo-fast small-N window vs steal-slow 4N window —
+    // see BENCH.md turbo-asymmetry note) instead of a bare ratio
+    val rawRuns = scala.collection.mutable.Map.empty[Int, List[Double]]
     Seq(scaleN, scaleN * 4, scaleN, scaleN * 4).foreach { n =>
       val s = session(n, partMult = 8)
       try {
         System.gc()
         val reps = if (n == scaleN * 4) 3 else 2
-        val (docs, spans, sec) = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
-          .minBy(_._3)
+        val runs = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
+        rawRuns(n) = rawRuns.getOrElse(n, Nil) ++ runs.map(_._3)
+        val (docs, spans, sec) = runs.minBy(_._3)
         val best = bestByLevel.get(n) match {
           case Some(prev) if prev._3 <= sec => prev
           case _ => (docs, spans, sec)
@@ -306,6 +311,9 @@ object Bench {
       s""""localN_sec":$sec8,"localN_docs_per_sec":$rate8,""" +
       s""""local4N_sec":$sec32,"local4N_docs_per_sec":$rate32,""" +
       s""""scaling_efficiency":$efficiency,""" +
+      s""""scaling_raw_secs":${rawRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
+          s""""$n":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
+        }.mkString("{", ",", "}")},""" +
       s""""stages":${stages.map { case (k, m) =>
           s""""$k":${m.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")}"""
         }.mkString("{", ",", "}")}}}""")
