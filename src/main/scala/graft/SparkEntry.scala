@@ -190,18 +190,16 @@ object SparkEntry {
       graft.streaming.StreamingExtract.streamHtmlCounts(s, dir)),
 
     // Progress-callback / bench-recorder surface (SURVEY §2.10) under the
-    // hash gate: the named LongAccumulators updated inside the metered
-    // kernel loop must equal the closed-form doc/span totals — n_docs,
-    // spans_in (derived spans entering the kernel), spans_out (spans
-    // surviving boilerplate strip), dropped (= the nav+footer pair/doc).
+    // hash gate: doc/span totals — n_docs, spans_in (derived spans
+    // entering the kernel), spans_out (spans surviving boilerplate
+    // strip), dropped (= the nav+footer pair/doc). The gated row is a
+    // plan-level aggregation (exactly-once under retries); the named
+    // LongAccumulators are updated in the same kernel loop as the live
+    // observability surface (at-least-once — see Extraction.Metrics).
     "ext_metrics" -> ((s, dir) => {
-      import s.implicits._
       val m = graft.pipeline.Extraction.metrics(s)
       graft.pipeline.Extraction
-        .extractDsWithMetrics(graft.corpus.CorpusDerive.derive(s, dir), m)
-        .write.format("noop").mode("overwrite").save()
-      Seq((m.docs.value, m.spansIn.value, m.spansOut.value, m.dropped))
-        .toDF("n_docs", "spans_in", "spans_out", "dropped")
+        .metricsRow(graft.corpus.CorpusDerive.derive(s, dir), Some(m))
     }),
 
     "ext_media_refs" -> ((s, dir) => {
@@ -591,6 +589,45 @@ object SparkEntry {
         "all batch dirs were superseded; expiry must drop their manifests")
       TableIO.readTable(s, out)
         .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"span_count").cast("long").as("n_spans"))
+    }),
+
+    // Schema evolution lifecycle (Iceberg add-column analog) under the
+    // hash gate: v1 batch (base schema) → evolveAddColumn("lang") → v2
+    // batch written WITH the column → full compaction. In-query
+    // invariants: time travel to the pre-evolution snapshot keeps the
+    // old shape; a post-evolution write missing the column is rejected;
+    // compaction preserves the evolved column. The returned per-lang
+    // totals make v1 rows surface as NULL-lang ('none') and v2 rows
+    // carry their written values — any loss of the column across the
+    // rewrite, or evolved values bleeding into old rows, hash-fails.
+    "tio_evolve" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.TableIO
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-evolve").toString
+      val rows = graft.pipeline.Extraction.extractRows(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
+      val idNum = expr("CAST(substring(doc_id, 2) AS BIGINT)")
+      TableIO.appendBatchDf(rows.filter(idNum % 2 === 0).toDF(), out, 0L)
+      val preSnap = TableIO.currentSnapshot(out)
+      val evoSnap = TableIO.evolveAddColumn(out, "lang", "string")
+      require(evoSnap > preSnap, "evolution must advance the snapshot")
+      val v2 = rows.filter(idNum % 2 === 1).toDF()
+        .withColumn("lang", when(idNum % 3 === 0, lit("en")).otherwise(lit("xx")))
+      TableIO.appendBatchDf(v2, out, 1L)
+      require(!TableIO.readTableDf(s, out, asOfSnapshot = preSnap)
+        .columns.contains("lang"),
+        "time travel to pre-evolution snapshot must keep the old schema")
+      require(scala.util.Try(
+        TableIO.appendBatchDf(rows.limit(1).toDF(), out, 9L)).isFailure,
+        "post-evolution write missing the evolved column must be rejected")
+      TableIO.compact(s, out)
+      val df = TableIO.readTableDf(s, out)
+      require(df.columns.contains("lang"),
+        "compaction must preserve the evolved column")
+      df.groupBy(coalesce($"lang", lit("none")).as("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum($"span_count").cast("long").as("n_spans"))
     }),
@@ -1959,6 +1996,19 @@ object SparkEntry {
          |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
          |  CAST(sum(n_spans) AS BIGINT) AS n_spans
          |FROM w GROUP BY bucket""".stripMargin,
+
+    "tio_evolve" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'none'
+        |              WHEN doc_id % 3 = 0 THEN 'en' ELSE 'xx' END AS lang,
+        |    (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+        |       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |       + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |       + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_spans
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS n_spans
+        |FROM w GROUP BY lang""".stripMargin,
 
     "tok_stream" ->
       """SELECT printf('d%010d', doc_id) AS doc_id,

@@ -148,7 +148,12 @@ object PdfStream {
           val j = i
           i += 1
           while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-          Some(TNum(s.substring(j, i).toDouble))
+          // A bare '-' / '+' / '.' is malformed; the subset-reader contract
+          // is to skip unknown/malformed bytes, never kill the task.
+          s.substring(j, i).toDoubleOption match {
+            case Some(d) => Some(TNum(d))
+            case None    => one()
+          }
         case _ =>
           val j = i
           while (i < s.length && s.charAt(i).isLetter) i += 1

@@ -32,6 +32,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * The reference's analog is its bounded-structure discipline in the
   * decode cache (ref crates/core/src/transformer/cache.rs:78-118): fixed
   * capacity decided up front, never input-dependent growth.
+  *
+  * CONTRACT — DISTINCT INPUTS PER KEY: the buffer never deduplicates, so
+  * the exact "overflow iff group size > cap" semantics (and the exact
+  * df-cut above) hold only when each key's input values are distinct, as
+  * they are for per-doc shingle postings. Fed duplicate inputs, a group
+  * with ≤ cap distinct members can still overflow (duplicates count
+  * toward the cap) and silently evaluate to NULL. Dedupe upstream (e.g.
+  * `.distinct()` or distinct-by-construction) before reusing this
+  * aggregate for any other candidate stage.
   */
 case class BoundedCollectAgg(
     child: Expression,

@@ -70,8 +70,20 @@ object DedupOps {
   private val cacheSlots =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
   private[graft] def persistSlot[T](key: String, ds: Dataset[T]): Dataset[T] = {
-    val prev = cacheSlots.put(key, ds)
-    if (prev != null) prev.unpersist(blocking = false)
+    // Slots are keyed by (session id, operator): a fresh SparkSession never
+    // collides with a stopped one's slot, and concurrent sessions can't
+    // unpersist each other's live cache. Unpersist of the previous slot is
+    // further guarded against a stopped context (unpersist on a Dataset
+    // bound to a stopped SparkContext throws IllegalStateException).
+    val sessionKey =
+      System.identityHashCode(ds.sparkSession).toHexString + "|" + key
+    val prev = cacheSlots.put(sessionKey, ds)
+    if (prev != null) {
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped)
+          prev.unpersist(blocking = false)
+      } catch { case _: IllegalStateException => () }
+    }
     ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

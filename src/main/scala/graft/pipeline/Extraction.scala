@@ -50,6 +50,13 @@ object Extraction {
     * benchmark.rs:83-176): named LongAccumulators updated inside the
     * kernel loop, visible on the driver while the job runs (and in the
     * Spark UI / listener bus on a real cluster).
+    *
+    * OBSERVABILITY-ONLY: Spark guarantees exactly-once accumulator
+    * updates only in actions; updates inside a transformation (this
+    * mapPartitions) are at-least-once under task retries / speculative
+    * execution on a real cluster. Use [[metricsRow]] — an aggregation
+    * over the data itself — for any value that must be exact (the
+    * ext_metrics hash gate does).
     */
   final case class Metrics(docs: org.apache.spark.util.LongAccumulator,
                            spansIn: org.apache.spark.util.LongAccumulator,
@@ -72,6 +79,35 @@ object Extraction {
       m.spansOut.add(out.spans.size.toLong)
       out
     })
+  }
+
+  /** Exact metric totals as a plan-level aggregation over the data
+    * itself — retry-safe (exactly-once) where the accumulator surface
+    * is at-least-once. Runs the kernel once in the same narrow pass and
+    * folds (docs, spans_in, spans_out) map-side; only three longs per
+    * partition cross the wire. The optional accumulators are updated in
+    * the same loop so the live-progress surface still works.
+    */
+  def metricsRow(docs: Dataset[Doc],
+                 m: Option[Metrics] = None): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      var n = 0L; var si = 0L; var so = 0L
+      it.foreach { d =>
+        val out = Kernel.extract(d)
+        n += 1L; si += d.spans.size.toLong; so += out.spans.size.toLong
+        m.foreach { mm =>
+          mm.docs.add(1L); mm.spansIn.add(d.spans.size.toLong)
+          mm.spansOut.add(out.spans.size.toLong)
+        }
+      }
+      Iterator.single((n, si, so))
+    }.toDF("n", "si", "so")
+      .agg(org.apache.spark.sql.functions.sum($"n").cast("long").as("n_docs"),
+           org.apache.spark.sql.functions.sum($"si").cast("long").as("spans_in"),
+           org.apache.spark.sql.functions.sum($"so").cast("long").as("spans_out"))
+      .withColumn("dropped", $"spans_in" - $"spans_out")
   }
 
   /** Full pipeline with explicit salt + range rebalance (north rule).

@@ -316,7 +316,9 @@ object TableIO {
     require(committedBatches(outDir).nonEmpty || compactions(outDir).nonEmpty,
       s"nothing to compact under $outDir")
     val snapshot = currentSnapshot(outDir) + 1
-    val rows = readTable(spark, outDir)
+    // evolution-aware read: rewrite under the LATEST schema so evolved
+    // columns survive compaction (null-filled for pre-evolution rows)
+    val rows = readTableDf(spark, outDir)
     rows.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -351,7 +353,8 @@ object TableIO {
       dirBytes(Paths.get(outDir, "data", s"batch=$b")) < smallBytes)
     if (small.length < 2) return None
     val snapshot = currentSnapshot(outDir) + 1
-    readBatchDirs(spark, outDir, small)
+    // evolution-aware: binpack under the latest schema (see compact)
+    readBatchDirsDf(spark, outDir, small, tableSchemaAt(outDir))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -462,6 +465,158 @@ object TableIO {
     val compFiles = visibleCompactions(outDir).flatMap(c =>
       parquetFilesUnder(compactedDir(outDir, c.snapshot)))
     batchFiles ++ compFiles
+  }
+
+  // ------------------------------------------------------------------
+  // Schema evolution (the Iceberg add-column analog — its most common
+  // schema operation). An evolution commit writes an immutable
+  // schemas/evolve-<v>.json recording the added column and the snapshot
+  // it activates at, and advances the table snapshot. Readers resolve
+  // THE SCHEMA AT A SNAPSHOT: time travel to a pre-evolution snapshot
+  // returns the old shape (the new column projected away even from
+  // newer files); the latest read returns the evolved shape with NULL
+  // for rows written before the column existed (parquet explicit-schema
+  // read fills absent columns with null — no rewrite of old data, the
+  // Iceberg contract). Compaction reads and rewrites under the LATEST
+  // schema, so evolved columns survive rewrites. Ref analog: the
+  // schema_version gating of baselines/README.md:20-21,66-67 and the
+  // open-struct forward tolerance of config/mod.rs:64-66.
+  // ------------------------------------------------------------------
+
+  /** One committed add-column evolution. `version` 2+ (1 = base schema);
+    * `activeFrom` = first snapshot whose schema includes the column.
+    */
+  final case class Evolution(version: Int, activeFrom: Long,
+      name: String, ddl: String)
+
+  private def schemaDir(outDir: String): Path = Paths.get(outDir, "schemas")
+  private val ActiveRe = "\"active_from\":(\\d+)".r
+  private val ColNameRe = "\"column\":\"([^\"]*)\"".r
+  private val ColTypeRe = "\"type\":\"([^\"]*)\"".r
+
+  def evolutions(outDir: String): Seq[Evolution] =
+    listNames(schemaDir(outDir), "evolve-", ".json").map { name =>
+      val v = name.stripPrefix("evolve-").stripSuffix(".json").toInt
+      val s = Files.readString(schemaDir(outDir).resolve(name))
+      Evolution(v,
+        ActiveRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L),
+        ColNameRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""),
+        ColTypeRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("string"))
+    }.sortBy(_.version)
+
+  private def baseSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ExtractedRow].schema
+
+  /** Table schema as of `asOf` (default latest): base ExtractedRow
+    * columns plus every evolved column whose activation snapshot ≤ asOf,
+    * in evolution order.
+    */
+  def tableSchemaAt(outDir: String,
+      asOf: Long = Long.MaxValue): org.apache.spark.sql.types.StructType =
+    evolutions(outDir).filter(_.activeFrom <= asOf)
+      .foldLeft(baseSchema)((s, e) => s.add(e.name, e.ddl, nullable = true))
+
+  def currentTableSchemaVersion(outDir: String): Int =
+    evolutions(outDir).lastOption.map(_.version).getOrElse(1)
+
+  /** Commit an add-column evolution. The new column is nullable (rows
+    * written earlier read as NULL); the table snapshot advances so time
+    * travel to any pre-evolution snapshot keeps the old shape. Returns
+    * the activation snapshot.
+    */
+  def evolveAddColumn(outDir: String, name: String, ddl: String): Long = {
+    val current = tableSchemaAt(outDir)
+    require(!current.fieldNames.contains(name),
+      s"column '$name' already exists in table schema")
+    // validate the DDL parses before committing anything
+    org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    val version = currentTableSchemaVersion(outDir) + 1
+    val activeFrom = currentSnapshot(outDir) + 1
+    writeAtomic(schemaDir(outDir).resolve(s"evolve-$version.json"),
+      s"""{"schema_version":$SchemaVersion,"table_schema":$version,""" +
+      s""""active_from":$activeFrom,"column":"$name","type":"$ddl"}""")
+    writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
+      s"""{"schema_version":$SchemaVersion,"snapshot":$activeFrom,""" +
+      s""""evolved_column":"$name"}""")
+    activeFrom
+  }
+
+  /** Schema-order projection with the partition-typed bucket cast. */
+  private def projectTo(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    df.select(schema.fieldNames.map {
+      case "bucket" => col("bucket").cast("int").as("bucket")
+      case f        => col(f)
+    }.toSeq: _*)
+
+  private def readBatchDirsDf(spark: SparkSession, outDir: String,
+      batches: Seq[Long],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    projectTo(spark.read
+      .schema(schema.add("batch", "long"))
+      .option("basePath", s"$outDir/data")
+      .parquet(batches.sorted.map(b => s"$outDir/data/batch=$b"): _*), schema)
+
+  private def readCompactedDf(spark: SparkSession, outDir: String,
+      snapshot: Long,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    projectTo(spark.read
+      .schema(schema)
+      .option("basePath", compactedDir(outDir, snapshot).toString)
+      .parquet(compactedDir(outDir, snapshot).toString), schema)
+
+  /** Evolution-aware [[readTable]]: same visibility rules, but the
+    * result carries the SCHEMA AT `asOfSnapshot` — evolved columns
+    * appear (NULL for pre-evolution rows) iff their activation snapshot
+    * is ≤ asOfSnapshot, regardless of which files physically contain
+    * them.
+    */
+  def readTableDf(spark: SparkSession, outDir: String,
+      asOfSnapshot: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    val schema = tableSchemaAt(outDir, asOfSnapshot)
+    val comps = visibleCompactions(outDir, asOfSnapshot)
+    val live = committedBatches(outDir)
+      .diff(deadBatches(outDir, asOfSnapshot)).toSeq
+    val parts =
+      comps.map(c => readCompactedDf(spark, outDir, c.snapshot, schema)) ++
+      (if (live.isEmpty) Nil
+       else Seq(readBatchDirsDf(spark, outDir, live, schema)))
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Evolution-aware idempotent batch append: rows must carry exactly
+    * the CURRENT table schema's columns (writers evolve first, then
+    * write). The batch manifest records the table-schema version it was
+    * written under. Same replay-safe protocol as
+    * [[appendBatchIdempotent]].
+    */
+  def appendBatchDf(rows: org.apache.spark.sql.DataFrame, outDir: String,
+                    batchId: Long): Boolean = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val schema = tableSchemaAt(outDir)
+    require(rows.columns.toSeq == schema.fieldNames.toSeq,
+      s"batch columns ${rows.columns.mkString(",")} != table schema " +
+      s"${schema.fieldNames.mkString(",")} — evolve the table first, " +
+      "then write with the full current schema")
+    val mpath = manifestDir(outDir).resolve(s"batch-$batchId.json")
+    if (Files.exists(mpath)) return false
+    rows.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$outDir/data/batch=$batchId")
+    val (nd, ns) = spark.read
+      .schema(schema)
+      .parquet(s"$outDir/data/batch=$batchId")
+      .agg(count(lit(1)), coalesce(sum($"span_count").cast("long"), lit(0L)))
+      .as[(Long, Long)].head()
+    writeAtomic(mpath,
+      s"""{"schema_version":$SchemaVersion,""" +
+      s""""table_schema":${currentTableSchemaVersion(outDir)},""" +
+      s""""batch":$batchId,"doc_count":$nd,"span_count":$ns}""")
+    true
   }
 
   /** Read back only manifest-committed data, as of `asOfSnapshot`

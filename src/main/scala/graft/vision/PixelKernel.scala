@@ -11,7 +11,13 @@ package graft.vision
   *    /root/reference/crates/cli/src/app.rs:95-101)
   *  - Pillow-exact separable fixed-point BICUBIC resample, a = −0.5,
   *    22-bit precision, per-pass u8 clipping
-  *    (/root/reference/crates/core/src/vision/resample.rs:26-160)
+  *    (/root/reference/crates/core/src/vision/resample.rs:26-160).
+  *    NOTE ON PROVENANCE: this resample stage is the PILLOW ALGORITHM
+  *    (python-pillow `ImagingResampleHorizontal/Vertical`, public
+  *    BSD-licensed code) — the contract is byte-for-byte Pillow parity,
+  *    which pins every arithmetic step and the classic variable names
+  *    (filterscale/support/ksize/xmin/xmax); the reference ports the
+  *    same public algorithm, which is why the structures match.
   *  - letterboxed global view on a mid-gray canvas with
   *    round-ties-to-even placement
   *    (/root/reference/crates/core/src/model/mod.rs:1705-1741

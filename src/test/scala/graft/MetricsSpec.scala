@@ -24,4 +24,16 @@ class MetricsSpec extends AnyFunSuite {
     assert(m.dropped == inSpans - out._2)
     assert(m.dropped > 0) // boilerplate really is being dropped
   }
+
+  test("metricsRow (retry-safe aggregation) reconciles with accumulators") {
+    import spark.implicits._
+    val docs = CorpusDerive.derive(spark, "/root/testdata/sf0.001")
+    val m = Extraction.metrics(spark)
+    val row = Extraction.metricsRow(docs, Some(m))
+      .as[(Long, Long, Long, Long)].head()
+    // Local mode never retries, so the observability accumulators must
+    // agree exactly with the plan-level (exactly-once) aggregation.
+    assert(row == ((m.docs.value, m.spansIn.value, m.spansOut.value, m.dropped)))
+    assert(row._4 == row._2 - row._3 && row._4 > 0)
+  }
 }

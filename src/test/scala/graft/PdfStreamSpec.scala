@@ -26,6 +26,13 @@ class PdfStreamSpec extends AnyFunSuite {
     assert(PdfStream.parse(s) == Seq(Run("x", 10, 20)))
   }
 
+  test("malformed bare sign/dot tokens are skipped, not fatal") {
+    // A bare '-', '+', or '.' is not a number; the subset-reader contract
+    // says skip malformed bytes (never NumberFormatException the task).
+    val s = "BT - + . 1 0 0 1 10 20 Tm (x) Tj ET"
+    assert(PdfStream.parse(s) == Seq(Run("x", 10, 20)))
+  }
+
   test("synthesize → parse inverts text and position for many docs") {
     for (id <- 0L until 40L) {
       val runs = PdfStream.parse(PdfStream.synthesize(id))

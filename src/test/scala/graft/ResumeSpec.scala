@@ -226,6 +226,59 @@ class ResumeSpec extends AnyFunSuite {
       .collect().map(r => (r.doc_id, r.spans, r.markdown)).sortBy(_._1).toSeq == withExtra)
   }
 
+  test("schema evolution: add column, old snapshots keep old shape, " +
+       "nulls for old rows, compaction preserves, expiry keeps values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = tmpDir()
+    val idNum = expr("CAST(substring(doc_id, 2) AS BIGINT)")
+    // v1: half the docs under the base schema
+    assert(TableIO.appendBatchDf(rows.filter(idNum % 2 === 0).toDF(), out, 0L))
+    assert(TableIO.currentTableSchemaVersion(out) == 1)
+    val preSnap = TableIO.currentSnapshot(out)
+    val evoSnap = TableIO.evolveAddColumn(out, "lang", "string")
+    assert(evoSnap > preSnap)
+    assert(TableIO.currentTableSchemaVersion(out) == 2)
+    // double-evolve of the same name rejected; bad DDL rejected atomically
+    assertThrows[IllegalArgumentException](
+      TableIO.evolveAddColumn(out, "lang", "string"))
+    intercept[Exception](TableIO.evolveAddColumn(out, "x", "no_such_type"))
+    assert(TableIO.currentTableSchemaVersion(out) == 2, "failed evolve must not commit")
+    // post-evolution writers must carry the full current schema
+    assertThrows[IllegalArgumentException](
+      TableIO.appendBatchDf(rows.limit(1).toDF(), out, 9L))
+    val v2 = rows.filter(idNum % 2 === 1).toDF()
+      .withColumn("lang", when(idNum % 3 === 0, lit("en")).otherwise(lit("xx")))
+    assert(TableIO.appendBatchDf(v2, out, 1L))
+    // time travel: pre-evolution snapshot has the old shape, even though
+    // newer files physically contain the column
+    assert(!TableIO.readTableDf(spark, out, asOfSnapshot = preSnap)
+      .columns.contains("lang"))
+    assert(TableIO.tableSchemaAt(out, preSnap).fieldNames.toSeq ==
+           TableIO.tableSchemaAt(out, Long.MaxValue).fieldNames.toSeq.init)
+    // latest read: old rows are NULL, new rows carry written values
+    val latest = TableIO.readTableDf(spark, out)
+    val (nullLang, enLang) = (
+      latest.filter($"lang".isNull).count(),
+      latest.filter($"lang" === "en").count())
+    assert(nullLang == rows.filter(idNum % 2 === 0).count())
+    assert(enLang > 0)
+    val totalBefore = latest.count()
+    val langTotals = latest.groupBy(coalesce($"lang", lit("none")).as("l"))
+      .count().as[(String, Long)].collect().sortBy(_._1).toSeq
+    // compaction rewrites under the latest schema — column + values survive
+    TableIO.compact(spark, out)
+    val afterC = TableIO.readTableDf(spark, out)
+    assert(afterC.count() == totalBefore)
+    assert(afterC.groupBy(coalesce($"lang", lit("none")).as("l"))
+      .count().as[(String, Long)].collect().sortBy(_._1).toSeq == langTotals)
+    // expiry drops superseded batch state; values still intact
+    assert(TableIO.expireSnapshots(out) > 0)
+    assert(TableIO.readTableDf(spark, out)
+      .groupBy(coalesce($"lang", lit("none")).as("l"))
+      .count().as[(String, Long)].collect().sortBy(_._1).toSeq == langTotals)
+  }
+
   test("manifest stats: doc/span counts and checksum match recomputation") {
     import spark.implicits._
     val out = tmpDir()
