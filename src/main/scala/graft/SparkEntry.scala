@@ -394,7 +394,29 @@ object SparkEntry {
     }),
 
     // ---- text analysis (training-data ops) ----
-    "ta_bpe" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+    // (renamed from ta_bpe: this is regex tokenization counts, not BPE —
+    // the real BPE surfaces are tok_bpe / tok_bpe_learn below)
+    "ta_tokens_re" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+
+    // Real BPE, fixture ranks (tokenizer.json analog — ref
+    // cli/app.rs:80-85): broadcast merge table learned at build time
+    // from the fixed spec seed, greedy rank-order encode in one narrow
+    // scan with a per-partition word memo. The oracle replays the merge
+    // loop EXACTLY (rank-ordered replace chain over a separator-marked
+    // segmentation) and hash-gates the exact id sequences via the
+    // order-sensitive fingerprint plus the lossless decode flag.
+    "tok_bpe" -> ((s, dir) =>
+      graft.operators.BpeOps.encodeDocs(s, t(s, dir, "documents"))),
+
+    // Real BPE, corpus-learned ranks: merge table learned from the
+    // corpus's own bounded top-V word-frequency table (driver collect
+    // bounded by V — dictionary-scale), broadcast, applied identically.
+    // The oracle hash-gates per-doc lossless decode∘encode identity
+    // (md5 of the decoded text vs the source); the exact learned merge
+    // table is pinned by BpeSpec.
+    "tok_bpe_learn" -> ((s, dir) =>
+      graft.operators.BpeOps.learnAndEncode(s, t(s, dir, "documents"))
+        .drop("n_tokens")),
     "ta_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
     "ta_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "ta_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
@@ -1237,10 +1259,33 @@ object SparkEntry {
         |  FROM events)
         |WHERE rnk <= 3""".stripMargin,
 
-    "ta_bpe" ->
+    "ta_tokens_re" ->
       s"""SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens_ws,
          |  len(regexp_extract_all(text, '${TextOps.TokenRegex}'))::BIGINT AS n_tokens_re
          |FROM documents""".stripMargin,
+
+    "tok_bpe" ->
+      s"""WITH seg AS (
+         |  SELECT doc_id, ${graft.operators.BpeOps.segSql("text")} AS s
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(rtrim(s, '·'), '·'), t -> t <> ' ') AS ts
+         |  FROM seg)
+         |SELECT printf('d%010d', doc_id) AS doc_id,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ts, t -> CAST(${graft.operators.BpeOps.vocabCaseSql("t")} AS BIGINT))),
+         |    (a, x) -> (a * 31 + (x + 1000000007)) % 1000000007) AS fp,
+         |  1::BIGINT AS exact
+         |FROM toks""".stripMargin,
+
+    "tok_bpe_learn" ->
+      """SELECT printf('d%010d', doc_id) AS doc_id,
+        |  len(string_split(text,' '))::BIGINT AS n_words,
+        |  1::BIGINT AS exact, md5(text) AS digest
+        |FROM documents""".stripMargin,
 
     "ta_quality" ->
       s"""WITH c AS (
