@@ -526,6 +526,15 @@ object SparkEntry {
     "mm_pixels_ref" -> ((s, dir) =>
       graft.operators.PixelOps.pixelPartsRefGeom(s, t(s, dir, "documents"))),
 
+    // mm_pixels_ref with EVERY pixel under the gate: order-free modular
+    // checksums (Σ (pos+1)·h(v) mod P over all ~3.1M positions per
+    // part) replace the row-sliced polynomial fold, so the oracle
+    // aggregates full frames with a plain sum() over generated grids —
+    // no list materialization — closing the slice caveat at the
+    // reference's shipped 1024/640 geometry.
+    "mm_pixels_full" -> ((s, dir) =>
+      graft.operators.PixelOps.pixelPartsRefGeomFull(s, t(s, dir, "documents"))),
+
     // S1 source end-to-end: media items materialized as real image files
     // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
     // dims parsed from the scanned bytes.
@@ -1918,6 +1927,82 @@ object SparkEntry {
          |  SELECT media_ref, 'global' AS part, 1024 AS width, 1024 AS height,
          |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
          |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM canvas GROUP BY media_ref)
+         |SELECT media_ref, part, width::BIGINT AS width, height::BIGINT AS height, pix_fp, norm_fp
+         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+
+    // Full-frame gate: same pipeline replay as mm_pixels_ref but over
+    // EVERY source row / output position, with order-free Σ(pos+1)·h(v)
+    // checksums aggregated by plain sum() — no sampling, no list folds.
+    "mm_pixels_full" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents
+         |  WHERE doc_id % ${graft.operators.PixelOps.RefSubsetEvery} = 0),
+         |gl AS (
+         |  SELECT media_ref, rw, rh, s, 640*rw AS sw, 640*rh AS sh,
+         |    CASE WHEN rw >= rh THEN 1024 ELSE 512 END AS nw,
+         |    CASE WHEN rh >= rw THEN 1024 ELSE 512 END AS nh,
+         |    (1024 - CASE WHEN rw >= rh THEN 1024 ELSE 512 END) // 2 AS xoff,
+         |    (1024 - CASE WHEN rh >= rw THEN 1024 ELSE 512 END) // 2 AS yoff
+         |  FROM (
+         |    SELECT media_ref,
+         |      (${md5iSql("'qrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+         |      (${md5iSql("'qrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+         |      (${md5iSql("'px|' || media_ref")} % 251)::BIGINT AS s
+         |    FROM refs)),
+         |coefr(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValuesRef}),
+         |src AS (
+         |  SELECT g.media_ref, gx.x, gy.y, ch.c,
+         |    CASE ch.c WHEN 0 THEN (7*gx.x + 13*gy.y + g.s) % 256
+         |              WHEN 1 THEN (11*gx.x + 3*gy.y + 2*g.s) % 256
+         |              ELSE (gx.x + gy.y + 3*g.s) % 256 END AS val
+         |  FROM gl g,
+         |    LATERAL (SELECT unnest(generate_series(0, g.sw - 1)) AS x) gx,
+         |    LATERAL (SELECT unnest(generate_series(0, g.sh - 1)) AS y) gy,
+         |    (SELECT unnest([0,1,2]) AS c) ch),
+         |hp AS (
+         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM src s
+         |  JOIN gl g ON s.media_ref = g.media_ref
+         |  JOIN coefr t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+         |vp AS (
+         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM hp h
+         |  JOIN gl g ON h.media_ref = g.media_ref
+         |  JOIN coefr t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+         |grid1024 AS (
+         |  SELECT gx.x, gy.y, ch.c
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS x) gx,
+         |       (SELECT unnest(generate_series(0, 1023)) AS y) gy,
+         |       (SELECT unnest([0,1,2]) AS c) ch),
+         |canvas AS (
+         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+         |  FROM gl g CROSS JOIN grid1024 p
+         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+         |    AND v.y = p.y - g.yoff AND v.c = p.c),
+         |tiles AS (
+         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 640 AS x0, (t.ti // m.rw) * 640 AS y0
+         |  FROM gl m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+         |tile_vals AS (
+         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+         |  FROM tiles t
+         |  JOIN src s ON s.media_ref = t.media_ref
+         |    AND s.x >= t.x0 AND s.x < t.x0 + 640
+         |    AND s.y >= t.y0 AND s.y < t.y0 + 640),
+         |tile_parts AS (
+         |  SELECT media_ref, 'tile_' || ti AS part, 640 AS width, 640 AS height,
+         |    CAST(sum(((y*640 + x)*3 + c + 1) * (((val+1)*(val+31)) % 1000000007)) % 1000000007 AS BIGINT) AS pix_fp,
+         |    CAST(sum((c*409600 + y*640 + x + 1) * (((2*val+1)*(2*val+31)) % 1000000007)) % 1000000007 AS BIGINT) AS norm_fp
+         |  FROM tile_vals GROUP BY media_ref, ti),
+         |global_parts AS (
+         |  SELECT media_ref, 'global' AS part, 1024 AS width, 1024 AS height,
+         |    CAST(sum(((y*1024 + x)*3 + c + 1) * (((val+1)*(val+31)) % 1000000007)) % 1000000007 AS BIGINT) AS pix_fp,
+         |    CAST(sum((c*1048576 + y*1024 + x + 1) * (((2*val+1)*(2*val+31)) % 1000000007)) % 1000000007 AS BIGINT) AS norm_fp
          |  FROM canvas GROUP BY media_ref)
          |SELECT media_ref, part, width::BIGINT AS width, height::BIGINT AS height, pix_fp, norm_fp
          |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,

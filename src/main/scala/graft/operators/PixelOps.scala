@@ -159,6 +159,25 @@ object PixelOps {
     refs.as[String].mapPartitions(_.flatMap(processRefGeom)).toDF()
   }
 
+  /** [[processRefGeom]] with EVERY-PIXEL gating: the order-free modular
+    * checksums ([[PixelKernel.pixelChecksumFull]]) close the row-slice
+    * caveat — the oracle aggregates all ~3.1M positions per part with a
+    * plain `sum()` over generated grids, full-tensor parity like ref
+    * tests/vision_weights.rs:17-290.
+    */
+  def processRefGeomFull(ref: String): Seq[PixelPart] =
+    process(ref, RefTile, RefBase, refRatioW(ref), refRatioH(ref),
+      PixelKernel.pixelChecksumFull, PixelKernel.normChecksumFull)
+
+  /** Driver query: full geometry, every pixel checksummed. */
+  def pixelPartsRefGeomFull(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val refs = docs.filter(col("doc_id") % RefSubsetEvery === 0)
+      .select(concat(lit("img://"), col("doc_id").cast("string"),
+        lit("/0")).as("media_ref"))
+    refs.as[String].mapPartitions(_.flatMap(processRefGeomFull)).toDF()
+  }
+
   /** Driver query: one row per (media item in subset, part). */
   def pixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -433,6 +433,53 @@ object PixelKernel {
     acc
   }
 
+  /** ORDER-FREE full-frame checksum over interleaved row-major RGB:
+    * every value contributes `(pos + 1) · h(v)` with
+    * `pos = (y·w + x)·3 + c` and `h(v) = (v+1)(v+31) mod P`, summed
+    * mod P. Because the position is encoded in each term, the sum is a
+    * commutative aggregation the oracle computes with a plain SQL
+    * `sum()` over a generated grid — no 3M-element list materialization
+    * or ordered fold (the reason the ref-geometry gate was row-sliced) —
+    * yet it stays position-sensitive: h is injective on [0, 255]
+    * ((v₁−v₂)(v₁+v₂+32) ≠ 0 mod P), so swapping or altering any single
+    * pair of unequal values changes the checksum.
+    */
+  def pixelChecksumFull(img: Rgb): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < img.data.length) {
+      val v = img.data(i) & 0xffL
+      acc = (acc + (i + 1L) * (((v + 1L) * (v + 31L)) % FpMod)) % FpMod
+      i += 1
+    }
+    acc
+  }
+
+  /** [[pixelChecksumFull]] over the normalized tensor in CHW planar
+    * order: `pos = c·w·h + y·w + x`, value `u = 2v` (the exact integer
+    * numerator of (v/255 − 0.5)/0.5 — see [[normChecksum]]).
+    */
+  def normChecksumFull(img: Rgb): Long = {
+    var acc = 0L
+    var p = 0L
+    var c = 0
+    while (c < 3) {
+      var y = 0
+      while (y < img.h) {
+        var x = 0
+        while (x < img.w) {
+          val u = 2L * (img.data((y * img.w + x) * 3 + c) & 0xffL)
+          acc = (acc + (p + 1L) * (((u + 1L) * (u + 31L)) % FpMod)) % FpMod
+          p += 1
+          x += 1
+        }
+        y += 1
+      }
+      c += 1
+    }
+    acc
+  }
+
   /** Polynomial fold over the NORMALIZED tensor in CHW planar order,
     * using exact integer numerators: (v/255 − 0.5)/0.5 = (2v − 255)/255,
     * folded as the non-negative 2v (offset +255 cancels the constant) —

@@ -28,6 +28,39 @@ class PixelRefGeomSpec extends AnyFunSuite {
     assert(PixelKernel.pixelChecksum(dec) == PixelKernel.pixelChecksum(src))
   }
 
+  test("order-free full checksums: position-sensitive, value-sensitive") {
+    val img = PixelOps.rulePixels("fullfp", 20, 12)
+    val base = PixelKernel.pixelChecksumFull(img)
+    val baseN = PixelKernel.normChecksumFull(img)
+    // transposing two unequal values changes both checksums
+    val swapped = img.copy(data = img.data.clone())
+    assert(swapped.data(5) != swapped.data(200))
+    val tmp = swapped.data(5)
+    swapped.data(5) = swapped.data(200); swapped.data(200) = tmp
+    assert(PixelKernel.pixelChecksumFull(swapped) != base)
+    assert(PixelKernel.normChecksumFull(swapped) != baseN)
+    // a single off-by-one value changes them too
+    val bumped = img.copy(data = img.data.clone())
+    bumped.data(77) = ((bumped.data(77) + 1) & 0xff).toByte
+    assert(PixelKernel.pixelChecksumFull(bumped) != base)
+    assert(PixelKernel.normChecksumFull(bumped) != baseN)
+    // deterministic
+    assert(PixelKernel.pixelChecksumFull(img) == base)
+  }
+
+  test("processRefGeomFull emits full-frame checksums for every part") {
+    val parts = PixelOps.processRefGeomFull("img://0/0")
+    assert(parts.nonEmpty)
+    val byPart = parts.map(p => p.part -> p).toMap
+    assert(byPart.contains("global"))
+    assert(byPart("global").width == 1024 && byPart("global").height == 1024)
+    // the full checksums differ from the row-sliced ones (they cover
+    // 64x the positions) but describe the same frames
+    val sliced = PixelOps.processRefGeom("img://0/0").map(p => p.part -> p).toMap
+    assert(sliced.keySet == byPart.keySet)
+    assert(byPart("global").pix_fp != sliced("global").pix_fp)
+  }
+
   test("row-slice checksums at stride 1 equal the full folds") {
     assert(PixelKernel.pixelChecksumRows(dec, 1) == PixelKernel.pixelChecksum(dec))
     assert(PixelKernel.normChecksumRows(dec, 1) == PixelKernel.normChecksum(dec))
