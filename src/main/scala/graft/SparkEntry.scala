@@ -535,6 +535,13 @@ object SparkEntry {
     "mm_pixels_full" -> ((s, dir) =>
       graft.operators.PixelOps.pixelPartsRefGeomFull(s, t(s, dir, "documents"))),
 
+    // Real GIF decode (variable-width LZW, sub-blocks, 256-entry global
+    // palette — pure JVM like the PNG Inflater path) feeding the SAME
+    // resize/tile/letterbox/normalize pipeline; checksums gate every
+    // decoded byte, so any LZW/bit-unpacking bug hash-fails.
+    "mm_gif_pixels" -> ((s, dir) =>
+      graft.operators.PixelOps.gifPixelParts(s, t(s, dir, "documents"))),
+
     // S1 source end-to-end: media items materialized as real image files
     // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
     // dims parsed from the scanned bytes.
@@ -1794,6 +1801,83 @@ object SparkEntry {
          |    CASE ch.c WHEN 0 THEN (7*gx.x + 13*gy.y + m.s) % 256
          |              WHEN 1 THEN (11*gx.x + 3*gy.y + 2*m.s) % 256
          |              ELSE (gx.x + gy.y + 3*m.s) % 256 END AS val
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
+         |    (SELECT unnest([0,1,2]) AS c) ch),
+         |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
+         |hp AS (
+         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM src s
+         |  JOIN gl g ON s.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+         |vp AS (
+         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM hp h
+         |  JOIN gl g ON h.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+         |grid16 AS (
+         |  SELECT gx.x, gy.y, ch.c
+         |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
+         |       (SELECT unnest(generate_series(0,15)) AS y) gy,
+         |       (SELECT unnest([0,1,2]) AS c) ch),
+         |canvas AS (
+         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+         |  FROM gl g CROSS JOIN grid16 p
+         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+         |    AND v.y = p.y - g.yoff AND v.c = p.c),
+         |tiles AS (
+         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+         |tile_vals AS (
+         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+         |  FROM tiles t
+         |  JOIN src s ON s.media_ref = t.media_ref
+         |    AND s.x >= t.x0 AND s.x < t.x0 + 16
+         |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
+         |tile_parts AS (
+         |  SELECT media_ref, 'tile_' || ti AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM tile_vals GROUP BY media_ref, ti),
+         |global_parts AS (
+         |  SELECT media_ref, 'global' AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM canvas GROUP BY media_ref)
+         |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+
+    // GIF rule replay: palette indices idx = (3x+5y+s) mod 256 expanded
+    // through the fixed palette (i, 7i+11, 13i+17) mod 256 — then the
+    // identical convolution/letterbox/tile machinery as mm_pixels.
+    "mm_gif_pixels" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |meta0 AS (
+         |  SELECT media_ref,
+         |    (${md5iSql("'grw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+         |    (${md5iSql("'grh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+         |    (${md5iSql("'gx|' || media_ref")} % 251)::BIGINT AS s
+         |  FROM refs
+         |  WHERE ${md5iSql("'gxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+         |meta AS (
+         |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
+         |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
+         |  FROM meta0),
+         |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
+         |src AS (
+         |  SELECT m.media_ref, gx.x, gy.y, ch.c,
+         |    CASE ch.c WHEN 0 THEN (3*gx.x + 5*gy.y + m.s) % 256
+         |              WHEN 1 THEN (7*((3*gx.x + 5*gy.y + m.s) % 256) + 11) % 256
+         |              ELSE (13*((3*gx.x + 5*gy.y + m.s) % 256) + 17) % 256 END AS val
          |  FROM meta m,
          |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
          |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,

@@ -178,6 +178,84 @@ object PixelOps {
     refs.as[String].mapPartitions(_.flatMap(processRefGeomFull)).toDF()
   }
 
+  // ---------------------------------------------- GIF pixels
+
+  /** Fixed 256-entry palette for the GIF rule images (spec constant the
+    * oracle replays in closed form): pal[i] = (i, (7i+11)%256, (13i+17)%256).
+    */
+  lazy val gifPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(i * 3) = i.toByte
+      p(i * 3 + 1) = ((7 * i + 11) % 256).toByte
+      p(i * 3 + 2) = ((13 * i + 17) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Closed-form palette-index rule: idx(x,y) = (3x + 5y + s) mod 256,
+    * s = md5i("gx|ref") mod 251 — linear so the oracle generates any
+    * crop without materializing frames.
+    */
+  def ruleGifIndexed(ref: String, w: Int, h: Int): graft.vision.GifKernel.Indexed = {
+    val s = (Hashing.md5i(s"gx|$ref") % 251L).toInt
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((3 * x + 5 * y + s) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.vision.GifKernel.Indexed(w, h, idx, gifPalette)
+  }
+
+  def gifRatioW(ref: String): Int = (Hashing.md5i(s"grw|$ref") % 2L + 1L).toInt
+  def gifRatioH(ref: String): Int = (Hashing.md5i(s"grh|$ref") % 2L + 1L).toInt
+  def inGifSubset(ref: String): Boolean = Hashing.md5i(s"gxs|$ref") % SubsetMod == 0L
+
+  /** GIF frames through the SAME pipeline as PNG (mm_pixels): rule
+    * indices → REAL GIF encode (variable-width LZW, sub-blocks) → REAL
+    * decode → palette expansion → ratio resize + tile crops +
+    * letterboxed global view → checksums. A decode bug anywhere in the
+    * LZW/bit-unpacking path shifts pixels and hash-fails.
+    */
+  def processGif(ref: String): Seq[PixelPart] = {
+    import graft.vision.GifKernel
+    val rw = gifRatioW(ref); val rh = gifRatioH(ref)
+    val indexed = ruleGifIndexed(ref, TileSize * rw, TileSize * rh)
+    val dec = GifKernel.toRgb(GifKernel.decodeGif(GifKernel.encodeGif(indexed)))
+    val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
+    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+  }
+
+  /** Driver query: GIF media subset, one row per (item, part). */
+  def gifPixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val refs = docs.select(explode(
+      when(col("doc_id") % 4 === 0,
+        array(concat(lit("img://"), id, lit("/0")),
+              concat(lit("img://"), id, lit("/1"))))
+        .when(col("doc_id") % 2 === 0,
+          array(concat(lit("img://"), id, lit("/0"))))
+        .otherwise(array().cast("array<string>"))).as("media_ref"))
+      .filter(Hashing.md5iCol(concat(lit("gxs|"), col("media_ref")))
+        % SubsetMod === 0L)
+    refs.as[String].mapPartitions(_.flatMap(processGif)).toDF()
+  }
+
   /** Driver query: one row per (media item in subset, part). */
   def pixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
