@@ -755,6 +755,29 @@ object SparkEntry {
         }.toDF("doc_id", "n_gen", "stopped", "steps", "gen_sum")
     }),
 
+    // dec_greedy plus the no-repeat-ngram guard the reference's fixture
+    // capture decodes with (no_repeat_ngram_size — capture_baseline.py:
+    // 744). Small geometry (vocab 8, budget 12, n=2) so suppression
+    // actually fires inside the budget; the oracle replays the stateful
+    // ban-then-argmax loop with a recursive CTE over the generated
+    // sequence — a genuinely different replay path than dec_greedy's
+    // closed-form per-position argmax.
+    "dec_greedy_norepeat" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long].map { id =>
+          val res = graft.extract.Decoder.decodeGreedyNoRepeat(
+            Seq.empty, eos = 0L, maxNewTokens = 12, noRepeatNgramSize = 2) { seq =>
+            val pos = seq.length
+            (0 until 8).map(t =>
+              (t.toLong, graft.functions.Hashing.md5i(s"decnr|$id|$pos|$t").toDouble))
+          }()
+          (id, res.generated.length.toLong,
+            if (res.stoppedByEos) 1L else 0L,
+            res.steps.toLong, res.generated.sum)
+        }.toDF("doc_id", "n_gen", "stopped", "steps", "gen_sum")
+    }),
+
     // Window partition/unpartition invariants over each doc's token
     // stream (pad to multiples of 14, block, exact inverse).
     "wp_windows" -> ((s, dir) => {
@@ -2293,6 +2316,39 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN s.j < coalesce(e.jeos, 8) THEN s.g ELSE 0 END) AS BIGINT) AS gen_sum
          |FROM steps s LEFT JOIN eos e ON s.doc_id = e.doc_id
          |GROUP BY s.doc_id, e.jeos""".stripMargin,
+
+    // stateful ban-then-argmax loop replayed with a recursive CTE: each
+    // step bans every token that followed an earlier occurrence of the
+    // last token (n=2), falls back to unrestricted argmax if the ban
+    // empties the distribution, stops on EOS 0 or budget 12
+    "dec_greedy_norepeat" ->
+      s"""WITH RECURSIVE gen AS (
+         |  SELECT doc_id, 0 AS j, CAST([] AS BIGINT[]) AS seq, FALSE AS stopped
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, j + 1,
+         |    CASE WHEN nxt = 0 THEN seq ELSE list_append(seq, nxt) END,
+         |    nxt = 0
+         |  FROM (
+         |    SELECT doc_id, j, seq,
+         |      -(list_aggregate(
+         |          CASE WHEN len(list_filter(cands, p -> NOT list_contains(banned, -p[2]))) = 0
+         |               THEN cands
+         |               ELSE list_filter(cands, p -> NOT list_contains(banned, -p[2])) END,
+         |          'max'))[2] AS nxt
+         |    FROM (
+         |      SELECT doc_id, j, seq,
+         |        list_transform(list_filter(range(1, len(seq)), i -> seq[i] = seq[len(seq)]),
+         |                       i -> seq[i+1]) AS banned,
+         |        list_transform(range(0, 8), t -> [${md5iSql("'decnr|' || doc_id || '|' || j || '|' || t")}, -t]) AS cands
+         |      FROM gen WHERE j < 12 AND NOT stopped)))
+         |SELECT doc_id,
+         |  CAST(len(seq) AS BIGINT) AS n_gen,
+         |  (CASE WHEN stopped THEN 1 ELSE 0 END)::BIGINT AS stopped,
+         |  j::BIGINT AS steps,
+         |  coalesce(CAST(list_sum(seq) AS BIGINT), 0) AS gen_sum
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) AS rn FROM gen)
+         |WHERE rn = 1""".stripMargin,
 
     // window counts from the tok_stream token formula; pad to ×14
     "wp_windows" ->

@@ -49,4 +49,47 @@ object Decoder {
     }
     DecodeResult(out.toSeq, stopped, i)
   }
+
+  /** [[decodeGreedy]] with HF-style no-repeat-ngram suppression — the
+    * decode-config knob the reference's fixture capture sets
+    * (no_repeat_ngram_size=20, ref scripts/capture_baseline.py:744):
+    * before each argmax, any token that would complete an `n`-gram
+    * already present in the sequence (prompt + generated) is banned.
+    * The banned set is built from every earlier occurrence of the last
+    * n−1 tokens; if the ban would empty the distribution entirely, the
+    * guard stands down for that step (deterministic, oracle-replayable
+    * fallback).
+    */
+  def decodeGreedyNoRepeat(prompt: Seq[Long], eos: Long, maxNewTokens: Int,
+      noRepeatNgramSize: Int)(
+      step: Seq[Long] => Seq[(Long, Double)])(
+      onProgress: (Int, Seq[Long]) => Unit = (_, _) => ()): DecodeResult = {
+    require(noRepeatNgramSize >= 2, "ngram size must be at least 2")
+    require(maxNewTokens >= 0, "negative token budget")
+    val n = noRepeatNgramSize
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var stopped = false
+    var i = 0
+    while (i < maxNewTokens && !stopped) {
+      val seq = prompt ++ out
+      val banned: Set[Long] =
+        if (seq.length < n - 1) Set.empty
+        else {
+          val ctx = seq.takeRight(n - 1)
+          (0 to seq.length - n).iterator
+            .filter(j => seq.slice(j, j + n - 1) == ctx)
+            .map(j => seq(j + n - 1)).toSet
+        }
+      val scores = step(seq)
+      val allowed = scores.filterNot(s => banned(s._1))
+      val next = argmax(if (allowed.nonEmpty) allowed else scores)
+      if (next == eos) stopped = true
+      else {
+        out += next
+        onProgress(out.length, out.toSeq)
+      }
+      i += 1
+    }
+    DecodeResult(out.toSeq, stopped, i)
+  }
 }
