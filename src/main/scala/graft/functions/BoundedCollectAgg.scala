@@ -45,6 +45,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class BoundedCollectAgg(
     child: Expression,
     cap: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BoundedCollectAgg.Buf]
@@ -54,7 +55,8 @@ case class BoundedCollectAgg(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_bounded_collect"
+  override def prettyName: String =
+    if (dedup) "graft_bounded_collect_set" else "graft_bounded_collect"
 
   override def createAggregationBuffer(): BoundedCollectAgg.Buf =
     new BoundedCollectAgg.Buf(overflow = false, n = 0,
@@ -64,15 +66,26 @@ case class BoundedCollectAgg(
                       input: InternalRow): BoundedCollectAgg.Buf = {
     if (!buf.overflow) {
       val v = child.eval(input)
-      if (v != null) buf.append(v.asInstanceOf[Long], cap)
+      if (v != null) {
+        if (dedup) buf.appendDistinct(v.asInstanceOf[Long], cap)
+        else buf.append(v.asInstanceOf[Long], cap)
+      }
     }
     buf
   }
 
   override def merge(buf: BoundedCollectAgg.Buf,
                      other: BoundedCollectAgg.Buf): BoundedCollectAgg.Buf = {
-    if (buf.overflow || other.overflow ||
-        buf.n.toLong + other.n.toLong > cap) {
+    if (buf.overflow || other.overflow) {
+      buf.overflow = true
+      buf.n = 0
+    } else if (dedup) {
+      // set union with the same overflow-iff-distinct-size>cap contract
+      var i = 0
+      while (i < other.n && !buf.overflow) {
+        buf.appendDistinct(other.ids(i), cap); i += 1
+      }
+    } else if (buf.n.toLong + other.n.toLong > cap) {
       buf.overflow = true
       buf.n = 0
     } else {
@@ -86,7 +99,7 @@ case class BoundedCollectAgg(
     if (buf.overflow) null
     else {
       val out = java.util.Arrays.copyOf(buf.ids, buf.n)
-      java.util.Arrays.sort(out)
+      if (!dedup) java.util.Arrays.sort(out) // dedup buffers stay sorted
       new GenericArrayData(out)
     }
 
@@ -131,12 +144,41 @@ object BoundedCollectAgg {
       ids(n) = v
       n += 1
     }
+
+    /** Sorted-unique insert: duplicates are NO-OPs (they never count
+      * toward the cap), so overflow fires iff the DISTINCT member count
+      * exceeds cap — the contract that lets callers feed non-distinct
+      * inputs (e.g. banded buckets where one doc posts several shingles
+      * of the same band).
+      */
+    def appendDistinct(v: Long, cap: Int): Unit = {
+      if (overflow) return
+      val pos = java.util.Arrays.binarySearch(ids, 0, n, v)
+      if (pos >= 0) return
+      if (n == cap) { overflow = true; n = 0; ids = Array.emptyLongArray; return }
+      val ins = -(pos + 1)
+      if (n == ids.length)
+        ids = java.util.Arrays.copyOf(ids, math.min(cap, math.max(ids.length * 2, 1)))
+      System.arraycopy(ids, ins, ids, ins + 1, n - ins)
+      ids(ins) = v
+      n += 1
+    }
   }
 
   /** DataFrame aggregation column: NULL when the group exceeds `cap`
-    * members, otherwise the sorted member array.
+    * members, otherwise the sorted member array. Requires distinct
+    * inputs per key (see the class contract).
     */
   def column(c: Column, cap: Int): Column =
     ColumnBridge.column(
       BoundedCollectAgg(ColumnBridge.expression(c), cap).toAggregateExpression())
+
+  /** Set variant: duplicates collapse in-buffer, overflow fires iff the
+    * group's DISTINCT member count exceeds `cap` — no distinct-input
+    * precondition.
+    */
+  def setColumn(c: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedCollectAgg(ColumnBridge.expression(c), cap, dedup = true)
+        .toAggregateExpression())
 }

@@ -65,12 +65,19 @@ object ClusterOps {
         .head()
       (r.getLong(0), r.getLong(1))
     }
+    // LAZY checkpoint + count: the count() is the action that
+    // materializes the checkpoint, so each round costs ONE pass over the
+    // edge set (the old shape ran an eager checkpoint job plus a
+    // count+xxhash checksum aggregation — two). The count is the
+    // convergence fast path; the checksum runs only when counts stall
+    // (typically once, on the final round) to confirm the edge SET is
+    // stable, not merely its size.
     var edges = pairs
       .select($"doc_a".cast("long").as("u"), $"doc_b".cast("long").as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint(true)
-    var prev = checksum(edges)
+      .localCheckpoint(false)
+    var prevN = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -95,10 +102,10 @@ object ClusterOps {
         .select($"v".as("u"), $"m".as("v"))
         .union(mins2.select($"u", $"m".as("v")))
         .distinct()
-        .localCheckpoint(true)
-      val cur = checksum(small)
-      converged = cur == prev
-      prev = cur
+        .localCheckpoint(false)
+      val nCur = small.count() // materializes the checkpoint — one pass
+      converged = nCur == prevN && checksum(edges) == checksum(small)
+      prevN = nCur
       edges = small // prior round's checkpoint blocks free via ContextCleaner
       round += 1
     }

@@ -200,6 +200,45 @@ class OpsSpec extends AnyFunSuite {
     assert(DedupOps.ngramJaccardPairs(spark, flood).count() == 0L)
   }
 
+  test("bounded collect SET: duplicates never count toward the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 distinct ids, each posted 20 times, across 64 partitions: the
+    // plain variant overflows (2000 postings > cap), the set variant
+    // collapses duplicates in-buffer and across partial merges
+    val dup = spark.range(0, 2000).repartition(64)
+      .select(lit(1L).as("k"), ($"id" % 100).as("id"))
+    val plain = dup.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.column($"id", 150).as("ids"))
+      .select($"ids").as[Option[Seq[Long]]].head()
+    assert(plain.isEmpty, "duplicates trip the plain cap")
+    val set = dup.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.setColumn($"id", 150).as("ids"))
+      .select($"ids").as[Option[Seq[Long]]].head()
+    assert(set.contains((0L until 100L).toSeq), "set variant: sorted distinct")
+    // overflow still fires on DISTINCT size > cap
+    val over = dup.groupBy($"k")
+      .agg(graft.functions.BoundedCollectAgg.setColumn($"id", 99).as("ids"))
+      .select($"ids").as[Option[Seq[Long]]].head()
+    assert(over.isEmpty, "100 distinct with cap 99 must overflow")
+  }
+
+  test("banded ngram pairs match the unbanded pairs when no band is viral") {
+    import spark.implicits._
+    // 4 near-dup docs (shared prefix, distinct tails) + noise docs
+    val docs = ((1L to 4L).map(i =>
+        (i, "s1", (1 to 20).map(j => s"w$j").mkString(" ") + s" tail$i")) ++
+      (10L to 20L).map(i =>
+        (i, "s1", (1 to 15).map(j => s"n$i-$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val a = DedupOps.ngramJaccardPairs(spark, docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val b = DedupOps.ngramJaccardPairsBanded(spark, docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(a.nonEmpty && a == b,
+      "band-granular cut must agree when no band is viral")
+  }
+
   test("lsh sketch: identical vectors identical sketch, deterministic coef") {
     import spark.implicits._
     assert(SimilarityOps.planeCoef(0, 0) == Hashing.md5i("0|0") % 2001L - 1000L)
