@@ -163,22 +163,27 @@ object Bench {
   }
 
   /** Skew scenario: a "hot host" whose pages sit CONSECUTIVE in doc_id
-    * space gets 30× the spans per doc. The hot runs must EXCEED the
+    * space gets `hot`× the spans per doc. The hot runs must EXCEED the
     * partition granularity for range placement to feel them (a web-scale
     * host's id block dwarfs one partition): ids with base % 5000 < 250
     * give 5% of bases in contiguous runs of ~200k amplified rows ≈ one
-    * full shuffle partition of pure 30×-cost rows. Row-count-balanced
+    * full shuffle partition of pure hot-cost rows. Row-count-balanced
     * range boundaries cannot see the cost → stragglers; the salt term
-    * scatters them uniformly. Measured salted (64 buckets) vs unsalted
-    * (saltBuckets=1); round-2 measurement: 17.0 s vs 22.3 s at local[8].
+    * scatters them uniformly.
+    *
+    * Measurement discipline (round-3 verdict item 1): interleaved
+    * min-of-k within ONE session, BOTH orders (S,U,S,U then U,S,U,S
+    * after a two-sided warm), every raw rep reported — the same
+    * treatment the scaling ratio gets, so one steal-stolen window can't
+    * invert the committed ordering. Returns (summary-mins, raw-walls).
     */
-  private def skewTimes(spark: SparkSession, sfDir: String,
-                        factor: Int): Map[String, Double] = {
+  private def skewTimes(spark: SparkSession, sfDir: String, factor: Int,
+      hot: Int): (Map[String, Double], Map[String, Seq[Double]]) = {
     import spark.implicits._
     def skewed = amplified(spark, sfDir, factor).map { d =>
       val baseNum = d.doc_id.slice(1, 11).toLong // "dNNNNNNNNNN[-i]"
       if (baseNum % 5000 < 250)
-        Doc(d.doc_id, Seq.fill(30)(d.spans).flatten)
+        Doc(d.doc_id, Seq.fill(hot)(d.spans).flatten)
       else d
     }
     def run(saltBuckets: Int): Double = {
@@ -187,10 +192,13 @@ object Bench {
         .select(count(lit(1)), sum(size($"spans"))).head()
       (System.nanoTime() - t0) / 1e9
     }
-    run(64) // warm
-    // interleaved min-of-2: cancels slow GC/page-cache drift between runs
-    val s1 = run(64); val n1 = run(1); val s2 = run(64); val n2 = run(1)
-    Map("skew_salted" -> math.min(s1, s2), "skew_nosalt" -> math.min(n1, n2))
+    run(64); run(1) // warm BOTH paths (codegen + page cache)
+    val pattern = Seq(64, 1, 64, 1, 1, 64, 1, 64)
+    val walls = pattern.map(b => (b, run(b)))
+    val salted = walls.collect { case (64, w) => w }
+    val unsalt = walls.collect { case (1, w) => w }
+    (Map(s"skew${hot}_salted" -> salted.min, s"skew${hot}_nosalt" -> unsalt.min),
+     Map(s"skew${hot}_salted_raw" -> salted, s"skew${hot}_nosalt_raw" -> unsalt))
   }
 
   def main(args: Array[String]): Unit = {
@@ -204,7 +212,10 @@ object Bench {
     // linearly with nodes, so the unsaturated regime is the faithful
     // proxy — same reasoning as round 1's N=4-not-8 choice.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "16000000").toLong
+    // Round-4 default: 64M docs (4× round 3) — the scaling story must
+    // hold as shuffle volume quadruples (VERDICT r3 item 9). Diagnostics
+    // below hold round-3-constant work so their walls stay comparable.
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "64000000").toLong
 
     // ---- scaling evidence: identical job at local[N] then local[4N] ----
     // Phase 0: one throwaway session to (a) size the amplification for the
@@ -239,7 +250,10 @@ object Bench {
       val s = session(n, partMult = 8)
       try {
         System.gc()
-        val reps = if (n == scaleN * 4) 3 else 2
+        // 4× the round-3 input per run: one N rep and two 4N reps per
+        // window (per-level min still spans two interleaved windows)
+        // keeps the wall near round 3's while the work quadruples
+        val reps = if (n == scaleN * 4) 2 else 1
         val runs = Seq.fill(reps)(runExtraction(s, sfDir, amplify))
         rawRuns(n) = rawRuns.getOrElse(n, Nil) ++ runs.map(_._3)
         val (docs, spans, sec) = runs.minBy(_._3)
@@ -253,16 +267,21 @@ object Bench {
     val scaling = bestByLevel.map { case (n, (docs, spans, sec)) =>
       n -> (docs, spans, sec, docs / sec)
     }.toMap
-    // stage/skew/flood diagnostics in a FRESH 4N session: these are
-    // one-shot (no min-of-k), and a session that just chewed through
-    // 5×16M-doc reps carries heap/GC state that inflated them 3×
-    // run-to-run. A clean session makes the diagnostics reproducible.
-    val stages = {
+    // stage/skew/flood diagnostics in a FRESH 4N session: a session that
+    // just chewed through 64M-doc reps carries heap/GC state that
+    // inflated them 3× run-to-run. Diagnostics run at ROUND-3-CONSTANT
+    // work (stages 16M-equivalent, skew 4M) so their walls compare
+    // across rounds while the headline scaling block quadrupled.
+    val (stages, skewRaw) = {
       val s = session(scaleN * 4, partMult = 8)
-      try Map(s"local${scaleN * 4}" ->
-        (stageTimes(s, sfDir, amplify) ++
-          skewTimes(s, sfDir, amplify / 4) ++ floodTimes(s)))
-      finally s.stop()
+      try {
+        val (skew30, raw30) = skewTimes(s, sfDir, amplify / 16, hot = 30)
+        val (skewHot, rawHot) = skewTimes(s, sfDir, amplify / 16, hot = 60)
+        (Map(s"local${scaleN * 4}" ->
+          (stageTimes(s, sfDir, amplify / 4) ++ skew30 ++ skewHot ++
+            floodTimes(s))),
+         raw30 ++ rawHot)
+      } finally s.stop()
     }
     val (docs8, _, sec8, rate8) = scaling(scaleN)
     val (docs32, spans32, sec32, rate32) = scaling(scaleN * 4)
@@ -296,15 +315,22 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (w1, err) = once()
+      // Record BOTH walls (round-3 advice): w1 is the cold first run
+      // (codegen/state-store init included — comparable to rounds 1-2
+      // and to any baseline measured first-run); the min is the steady
+      // wall a resident service observes. Cross-round/cross-engine
+      // comparisons pick the matching rule.
       val wall = if (err.isEmpty) math.min(w1, once()._1) else w1
-      (name, wall, err)
+      (name, wall, w1, err)
     }
     val total = results.map(_._2).sum
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, _, c, _) => s""""$k":$c""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_cold":$qsCold,""" +
       s""""query_errors":$errs,"sf":"$sfDir",""" +
       s""""extraction":{"amplify":$amplify,"docs":$docs32,"spans":$spans32,""" +
       s""""scale_n":$scaleN,""" +
@@ -313,6 +339,9 @@ object Bench {
       s""""scaling_efficiency":$efficiency,""" +
       s""""scaling_raw_secs":${rawRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
           s""""$n":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
+        }.mkString("{", ",", "}")},""" +
+      s""""skew_raw_secs":${skewRaw.toSeq.sortBy(_._1).map { case (k, rs) =>
+          s""""$k":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
         }.mkString("{", ",", "}")},""" +
       s""""stages":${stages.map { case (k, m) =>
           s""""$k":${m.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")}"""
