@@ -308,6 +308,13 @@ object SparkEntry {
     "ev_stream_late" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamLateReconcileQuery(s, t(s, dir, "events"))),
 
+    // REAL stream-stream interval join (purchase attribution): two
+    // watermarked file streams, append mode, state bounded by the
+    // watermark horizon on both sides; final table equals the batch
+    // join bit-for-bit.
+    "ev_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamJoinQuery(s, t(s, dir, "events"))),
+
     "ev_json" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -425,6 +432,13 @@ object SparkEntry {
     // the exchange carries <= k longs per source, not the token stream.
     "corpus_vocab_kmv" -> ((s, dir) => TextOps.vocabKmv(t(s, dir, "documents"))),
 
+    // HyperLogLog register sketch per source: constant 256-byte partial
+    // state below ONE exchange regardless of group size (KMV's
+    // complement — holds its error at any cardinality). Registers,
+    // fingerprint, and the integer HLL estimate are all replayed
+    // bit-for-bit by the oracle from the shared md5i hash.
+    "corpus_vocab_hll" -> ((s, dir) => TextOps.vocabHll(t(s, dir, "documents"))),
+
     // ---- corpus curation (training-data ops) ----
     // Gopher-style duplicate-2-gram stats: in-row sort+fold, zero exchanges.
     "ta_repetition" -> ((s, dir) => CurateOps.repetition(t(s, dir, "documents"))),
@@ -501,6 +515,10 @@ object SparkEntry {
       graft.operators.SampleOps.sampleStats(t(s, dir, "documents"), "source", pct = 10)),
     "split_assign" -> ((s, dir) =>
       graft.operators.SampleOps.splitStats(t(s, dir, "documents"), "lang")),
+    // Integer-exact A-ES-style weighted sample (k per source, weight =
+    // n_chars) on the native TopKPerKey rank-filter shape.
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.SampleOps.weightedSample(t(s, dir, "documents"), k = 10)),
 
     // ---- multimodal binary-column plumbing (real header decode) ----
     "mm_decode" -> ((s, dir) => MediaOps.decodeMeta(s, t(s, dir, "documents")).toDF()),
@@ -546,6 +564,17 @@ object SparkEntry {
     // decoded byte, so any LZW/bit-unpacking bug hash-fails.
     "mm_gif_pixels" -> ((s, dir) =>
       graft.operators.PixelOps.gifPixelParts(s, t(s, dir, "documents"))),
+
+    // Real baseline JPEG decode (canonical Huffman per T.81 Annex C/F,
+    // byte unstuffing, restart markers, dequant + exact IDCT — pure JVM
+    // like the PNG/GIF paths) feeding the SAME resize/tile/letterbox/
+    // normalize pipeline. Block-constant rule images make the lossy
+    // codec bit-exact (DC-only blocks, step-8 DC quant), so the oracle
+    // replays decoded pixels from the closed-form rule while the engine
+    // runs the full entropy decode; general-coefficient paths are pinned
+    // by JpegSpec against the JDK ImageIO codec.
+    "mm_jpeg_pixels" -> ((s, dir) =>
+      graft.operators.PixelOps.jpegPixelParts(s, t(s, dir, "documents"))),
 
     // S1 source end-to-end: media items materialized as real image files
     // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
@@ -1264,6 +1293,16 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
 
+    // Batch replay of the stream-stream interval join: same user, the
+    // purchase within [view_ts, view_ts + 30 min].
+    "ev_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  CAST(floor(p.value * 100) AS BIGINT) AS val_cents
+        |FROM events v
+        |JOIN events p ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
+
     "ev_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1383,6 +1422,35 @@ object SparkEntry {
          |  (CASE WHEN k_used < 16 THEN k_used
          |        WHEN kth > 0 THEN ${15L * TextOps.KmvSpace} // kth
          |        ELSE 0 END)::BIGINT AS est
+         |FROM a""".stripMargin,
+
+    // HLL register replay: bucket = h mod 256, payload w = h div 256,
+    // rho = trailing zeros + 1 via an exact mod-2^r CASE chain (w = 0 →
+    // 53); max per (source, bucket) over a dense 256-bucket grid, then
+    // the same integer fingerprint / Z-sum / rational-alpha estimate.
+    "corpus_vocab_hll" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT source, ${md5iSql("w")} AS hv FROM tok),
+         |b AS (SELECT source, hv % 256 AS bucket, hv // 256 AS wv FROM h),
+         |r AS (SELECT source, bucket,
+         |        max(CASE WHEN wv = 0 THEN 53 ${(1 to 52).map(rr =>
+                    s"WHEN wv % ${1L << rr} = ${1L << (rr - 1)} THEN $rr").mkString(" ")}
+         |            ELSE 53 END) AS rho
+         |      FROM b GROUP BY source, bucket),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |grid AS (SELECT s.source, g.bucket
+         |         FROM srcs s CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) g),
+         |regs AS (SELECT g.source, g.bucket, coalesce(r.rho, 0) AS rho
+         |         FROM grid g LEFT JOIN r ON r.source = g.source AND r.bucket = g.bucket),
+         |a AS (SELECT source,
+         |        CAST(count(*) FILTER (WHERE rho > 0) AS BIGINT) AS nonzero,
+         |        CAST(sum((bucket + 1) * (rho*rho*31 + rho + 7)) % 1000000007 AS BIGINT) AS reg_fp,
+         |        CAST(sum(1::BIGINT << (53 - rho)) % 1000000007 AS BIGINT) AS z_mod,
+         |        CAST(sum(1::BIGINT << (53 - rho)) AS HUGEINT) AS zsum
+         |      FROM regs GROUP BY source)
+         |SELECT source, nonzero, reg_fp, z_mod,
+         |  CAST((1846528000::HUGEINT * 65536 * 9007199254740992::HUGEINT)
+         |       // (2570790000::HUGEINT * zsum) AS BIGINT) AS est
          |FROM a""".stripMargin,
 
     "ta_repetition" ->
@@ -1790,6 +1858,20 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY source""".stripMargin,
 
+    "sample_weighted" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id,
+         |    ${md5iSql("'ws|' || CAST(doc_id AS VARCHAR)")}
+         |      // greatest(n_chars, 1) AS prio
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, prio,
+         |    row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rnk
+         |  FROM p)
+         |SELECT source, doc_id, CAST(prio AS BIGINT) AS prio,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 10""".stripMargin,
+
     "split_assign" ->
       s"""SELECT lang,
          |  CASE WHEN g < 80 THEN 'train' WHEN g < 90 THEN 'val' ELSE 'test' END AS split,
@@ -1934,6 +2016,82 @@ object SparkEntry {
          |    CASE ch.c WHEN 0 THEN (3*gx.x + 5*gy.y + m.s) % 256
          |              WHEN 1 THEN (7*((3*gx.x + 5*gy.y + m.s) % 256) + 11) % 256
          |              ELSE (13*((3*gx.x + 5*gy.y + m.s) % 256) + 17) % 256 END AS val
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
+         |    (SELECT unnest([0,1,2]) AS c) ch),
+         |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
+         |hp AS (
+         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM src s
+         |  JOIN gl g ON s.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+         |vp AS (
+         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM hp h
+         |  JOIN gl g ON h.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+         |grid16 AS (
+         |  SELECT gx.x, gy.y, ch.c
+         |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
+         |       (SELECT unnest(generate_series(0,15)) AS y) gy,
+         |       (SELECT unnest([0,1,2]) AS c) ch),
+         |canvas AS (
+         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+         |  FROM gl g CROSS JOIN grid16 p
+         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+         |    AND v.y = p.y - g.yoff AND v.c = p.c),
+         |tiles AS (
+         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+         |tile_vals AS (
+         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+         |  FROM tiles t
+         |  JOIN src s ON s.media_ref = t.media_ref
+         |    AND s.x >= t.x0 AND s.x < t.x0 + 16
+         |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
+         |tile_parts AS (
+         |  SELECT media_ref, 'tile_' || ti AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM tile_vals GROUP BY media_ref, ti),
+         |global_parts AS (
+         |  SELECT media_ref, 'global' AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM canvas GROUP BY media_ref)
+         |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+
+    // JPEG rule replay: block-constant luma v = (5·⌊x/8⌋+9·⌊y/8⌋+s) mod
+    // 256 replicated to RGB — bit-exact through the engine's real JPEG
+    // codec (DC-only blocks, step-8 DC quant) — then the identical
+    // convolution/letterbox/tile machinery as mm_pixels/mm_gif_pixels.
+    "mm_jpeg_pixels" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |meta0 AS (
+         |  SELECT media_ref,
+         |    (${md5iSql("'jrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+         |    (${md5iSql("'jrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+         |    (${md5iSql("'jx|' || media_ref")} % 251)::BIGINT AS s
+         |  FROM refs
+         |  WHERE ${md5iSql("'jxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+         |meta AS (
+         |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
+         |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
+         |  FROM meta0),
+         |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
+         |src AS (
+         |  SELECT m.media_ref, gx.x, gy.y, ch.c,
+         |    (5*(gx.x // 8) + 9*(gy.y // 8) + m.s) % 256 AS val
          |  FROM meta m,
          |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
          |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,

@@ -256,6 +256,74 @@ object PixelOps {
     refs.as[String].mapPartitions(_.flatMap(processGif)).toDF()
   }
 
+  // ---------------------------------------------- JPEG pixels
+
+  def jpegRatioW(ref: String): Int = (Hashing.md5i(s"jrw|$ref") % 2L + 1L).toInt
+  def jpegRatioH(ref: String): Int = (Hashing.md5i(s"jrh|$ref") % 2L + 1L).toInt
+
+  /** Block-constant luma rule: v(x,y) = (5·⌊x/8⌋ + 9·⌊y/8⌋ + s) mod 256,
+    * s = md5i("jx|ref") mod 251. Constant per 8×8 JPEG block, so AC
+    * coefficients quantize to zero and the step-8 DC quantizer
+    * round-trips bit-exactly (see [[graft.vision.JpegKernel]]) — the
+    * oracle replays decoded pixels straight from the rule while the
+    * engine runs the REAL entropy decode.
+    */
+  def ruleJpegGray(ref: String, w: Int, h: Int): graft.vision.JpegKernel.Gray = {
+    val s = (Hashing.md5i(s"jx|$ref") % 251L).toInt
+    val data = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        data(y * w + x) = ((5 * (x / 8) + 9 * (y / 8) + s) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.vision.JpegKernel.Gray(w, h, data)
+  }
+
+  /** JPEG frames through the SAME pipeline as PNG/GIF: rule luma → REAL
+    * baseline JPEG encode (standard Huffman tables, byte stuffing,
+    * restart marker every 2 MCUs) → REAL decode (canonical Huffman,
+    * dequant, exact IDCT) → grayscale-to-RGB → ratio resize + tile crops
+    * + letterboxed global view → checksums. A bug anywhere in the
+    * Huffman/bitstream/IDCT path shifts pixels and hash-fails.
+    */
+  def processJpeg(ref: String): Seq[PixelPart] = {
+    import graft.vision.JpegKernel
+    val rw = jpegRatioW(ref); val rh = jpegRatioH(ref)
+    val gray = ruleJpegGray(ref, TileSize * rw, TileSize * rh)
+    val bytes = JpegKernel.encodeGray(gray, JpegKernel.DcExactQuant,
+      restartInterval = 2)
+    val dec = JpegKernel.decodeJpeg(bytes)
+    val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
+    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+  }
+
+  /** Driver query: JPEG media subset, one row per (item, part). */
+  def jpegPixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val refs = docs.select(explode(
+      when(col("doc_id") % 4 === 0,
+        array(concat(lit("img://"), id, lit("/0")),
+              concat(lit("img://"), id, lit("/1"))))
+        .when(col("doc_id") % 2 === 0,
+          array(concat(lit("img://"), id, lit("/0"))))
+        .otherwise(array().cast("array<string>"))).as("media_ref"))
+      .filter(Hashing.md5iCol(concat(lit("jxs|"), col("media_ref")))
+        % SubsetMod === 0L)
+    refs.as[String].mapPartitions(_.flatMap(processJpeg)).toDF()
+  }
+
   /** Driver query: one row per (media item in subset, part). */
   def pixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

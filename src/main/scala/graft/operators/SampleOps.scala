@@ -54,4 +54,28 @@ object SampleOps {
     docs.withColumn("split", splitColumn(col("doc_id")))
       .groupBy(col(stratum), col("split"))
       .agg(count(lit(1)).as("n"))
+
+  /** Deterministic weighted sample without replacement: the `k` docs per
+    * source with the smallest priority = md5i("ws|doc_id") div weight.
+    * Higher weight (here n_chars) → proportionally smaller priority —
+    * the integer-exact analog of the Efraimidis-Spirakis A-ES
+    * exponential race (rank by u^(1/w)), with the float pow replaced by
+    * floor division on the 60-bit hash so both engines stay
+    * bit-identical. Like the hash gates above, membership is a pure
+    * function of the row: reproducible under retries/resume and
+    * independent of partitioning. The rank-filter shape re-plans to the
+    * native TopKPerKey bounded-heap exec — one exchange, no global sort.
+    */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("source"), col("doc_id"),
+        Hashing.md5iCol(concat(lit("ws|"), col("doc_id").cast("string")))
+          .as("h"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("prio", expr("h div w"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("prio"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("doc_id"), col("prio"), col("rnk"))
+  }
 }

@@ -116,6 +116,39 @@ object TextOps {
           .otherwise(lit(0L)))
   }
 
+  /** HyperLogLog per-source vocabulary sketch (m = 256 registers, see
+    * [[graft.functions.HllRegsAgg]]): one m-byte partial per partition
+    * below a single exchange, element-wise-max merge, then a per-row
+    * derivation of the register fingerprint and the integer HLL
+    * estimate. Complements [[vocabKmv]]: KMV is exact below k; HLL holds
+    * ~1.04/sqrt(m) relative error at ANY cardinality with constant
+    * state. All derived values are integer arithmetic (Z scaled by
+    * 2^RhoMax stays under 2^61; the alpha_256 = 0.7213/(1+1.079/256)
+    * correction as the exact rational 1846528000/2570790000), so the
+    * oracle replays every column bit-for-bit.
+    */
+  def vocabHll(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = 256
+    docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .select(col("source"), Hashing.md5iCol(col("w")).as("hv"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HllRegsAgg.column(col("hv"), m).as("regs"))
+      .as[(String, Seq[Long])]
+      .map { case (source, regs) =>
+        val rhoMax = graft.functions.HllRegsAgg.RhoMax
+        val nonzero = regs.count(_ > 0L).toLong
+        val regFp = regs.zipWithIndex.map { case (r, j) =>
+          (j + 1).toLong * (r * r * 31L + r + 7L)
+        }.sum % 1000000007L
+        val zsum = regs.map(r => 1L << (rhoMax - r.toInt)).sum
+        val est = (BigInt(1846528000L) * m * m * (BigInt(1) << rhoMax) /
+          (BigInt(2570790000L) * zsum)).toLong
+        (source, nonzero, regFp, zsum % 1000000007L, est)
+      }.toDF("source", "nonzero", "reg_fp", "z_mod", "est")
+  }
+
   /** Polynomial rolling fingerprint of the word-hash sequence (order-
     * sensitive — two docs match iff their full word sequences match).
     * See [[Hashing.polyFp]] for the cross-engine contract.

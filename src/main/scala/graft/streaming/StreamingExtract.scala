@@ -254,6 +254,49 @@ object StreamingExtract {
     spark.table(name)
   }
 
+  /** Driver query ST-coverage: a REAL stream-stream interval join —
+    * the purchase-attribution shape. Views and purchases read as two
+    * watermarked file streams (4 in-order batches each); a purchase
+    * joins every view by the same user within the preceding 30 minutes.
+    * Append mode: Spark buffers each side in watermark-bounded state and
+    * emits matches exactly once, which is the join the batch oracle
+    * replays bit-for-bit. State is bounded by the watermark horizon on
+    * BOTH sides (the time-range condition lets the planner evict rows
+    * older than max-event-time − 1 h − 30 min), so at 100 TB/day the
+    * join's footprint is the horizon's row count, not the stream's.
+    */
+  def streamJoinQuery(spark: SparkSession, events: DataFrame): DataFrame = {
+    val src = stageTimeOrderedFiles(spark, events, Seq("ts", "event_id"), 4)
+    val name = s"graft_stream_join_${System.nanoTime()}"
+    val schema = spark.read.parquet(src).schema
+    def in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+    val views = in.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = in.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        floor(col("value") * 100).cast("long").as("val_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"), col("val_cents"))
+    withStatePartitions(spark, 8) {
+      val q = joined
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Run [[eventWindowAgg]] as an Update-mode watermarked stream over
     * pre-staged source files; returns the final per-window values (the
     * running counters are monotone for non-negative event values, so the

@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.PixelOps
+import graft.vision.JpegKernel
+import graft.vision.JpegKernel.Gray
+import graft.vision.PixelKernel.Rgb
+import org.scalatest.funsuite.AnyFunSuite
+
+class JpegSpec extends AnyFunSuite {
+
+  private def randGray(w: Int, h: Int, seed: Int): Gray = {
+    val rng = new scala.util.Random(seed)
+    Gray(w, h, Array.fill(w * h)(rng.nextInt(256).toByte))
+  }
+
+  /** Luma plane of a decoded (replicated-RGB) grayscale image. */
+  private def luma(img: Rgb): Array[Int] =
+    Array.tabulate(img.w * img.h)(i => img.data(i * 3) & 0xff)
+
+  test("block-constant images round trip bit-exactly (the oracle contract)") {
+    // constant 8x8 blocks → AC quantizes to 0, DC = 8(v-128) divides the
+    // step-8 quantizer → decode must reproduce the rule EXACTLY, even for
+    // non-multiple-of-8 dims (edge replication keeps partial blocks constant)
+    for ((w, h) <- Seq((16, 16), (32, 16), (32, 32), (20, 12), (9, 25))) {
+      val img = Gray(w, h, Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((5 * (x / 8) + 9 * (y / 8) + 77) % 256).toByte
+      })
+      for (ri <- Seq(0, 2)) { // with and without restart markers
+        val dec = JpegKernel.decodeJpeg(JpegKernel.encodeGray(img,
+          JpegKernel.DcExactQuant, restartInterval = ri))
+        assert(dec.w == w && dec.h == h)
+        assert(luma(dec).sameElements(img.data.map(_ & 0xff)),
+          s"block-constant ${w}x$h ri=$ri not exact")
+      }
+    }
+  }
+
+  test("entropy layer round trips coefficients exactly (incl. restarts)") {
+    // random images produce dense AC runs, ZRL, EOB, negative categories;
+    // the decoded dequantized blocks must equal quantize(img) * quant
+    for ((w, h, ri) <- Seq((16, 16, 0), (40, 24, 0), (64, 64, 3), (17, 9, 1))) {
+      val img = randGray(w, h, seed = w * 31 + h + ri)
+      val quant = JpegKernel.DcExactQuant
+      val expected = JpegKernel.quantizeBlocks(img, quant)
+      val got = JpegKernel.decodeCoefficients(
+        JpegKernel.encodeGray(img, quant, restartInterval = ri))
+      assert(got.w == w && got.h == h)
+      val (_, blocks) = got.comps.head
+      assert(blocks.length == expected.length)
+      for (b <- expected.indices; i <- 0 until 64)
+        assert(blocks(b)(i) == expected(b)(i) * quant(i),
+          s"coef mismatch block $b idx $i (${w}x$h ri=$ri)")
+    }
+  }
+
+  test("flat quant table carries every coefficient through the bitstream") {
+    val img = randGray(24, 24, seed = 5)
+    val expected = JpegKernel.quantizeBlocks(img, JpegKernel.FlatQuant)
+    val got = JpegKernel.decodeCoefficients(
+      JpegKernel.encodeGray(img, JpegKernel.FlatQuant))
+    val (_, blocks) = got.comps.head
+    for (b <- expected.indices; i <- 0 until 64)
+      assert(blocks(b)(i) == expected(b)(i))
+  }
+
+  test("cross-decoder parity: ImageIO reads our bitstream to within ±1") {
+    // the JDK's JPEG codec is an independent implementation; IDCTs may
+    // differ by at most 1/pixel between spec-compliant decoders
+    val img = randGray(48, 32, seed = 11)
+    val bytes = JpegKernel.encodeGray(img, JpegKernel.DcExactQuant, restartInterval = 4)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(theirs != null, "ImageIO could not parse our bitstream")
+    assert(theirs.getWidth == 48 && theirs.getHeight == 32)
+    val ours = luma(JpegKernel.decodeJpeg(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val t = theirs.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(t - ours(y * 48 + x)))
+    }
+    assert(maxDiff <= 1, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("cross-encoder parity: our decoder reads an ImageIO bitstream") {
+    // a foreign baseline stream (libjpeg-derived writer: its own quant
+    // scaling, its own FDCT) — decode it and compare against ImageIO's
+    // own re-decode of the same bytes, again within IDCT tolerance
+    val w = 40; val h = 40
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rng = new scala.util.Random(13)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, rng.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpeg", bos))
+    val bytes = bos.toByteArray
+    val ours = luma(JpegKernel.decodeJpeg(bytes))
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(theirs.getRaster.getSample(x, y, 0) - ours(y * w + x)))
+    assert(maxDiff <= 1, s"max per-pixel diff decoding ImageIO stream: $maxDiff")
+  }
+
+  test("4:4:4 color: coefficient round trip and self-consistent pixels") {
+    val rng = new scala.util.Random(17)
+    val w = 24; val h = 16
+    val rgb = Rgb(w, h, Array.fill(w * h * 3)(rng.nextInt(256).toByte))
+    // flat quant: DCT round-off ≤0.5/coef, so residual error is just the
+    // two YCbCr color-transform roundings — a plane swap or upsample
+    // indexing bug blows way past this bound
+    val bytes = JpegKernel.encodeRgb444(rgb, JpegKernel.FlatQuant)
+    val coefs = JpegKernel.decodeCoefficients(bytes)
+    assert(coefs.comps.length == 3)
+    assert(coefs.comps.forall(_._2.length == (w / 8) * (h / 8)))
+    val dec = JpegKernel.decodeJpeg(bytes)
+    assert(dec.w == w && dec.h == h)
+    val maxErr = (0 until w * h * 3).map(i =>
+      math.abs((dec.data(i) & 0xff) - (rgb.data(i) & 0xff))).max
+    assert(maxErr <= 16, s"4:4:4 reconstruction error too large: $maxErr")
+  }
+
+  test("our decoder reads an ImageIO 4:2:0 color stream (smooth image)") {
+    // ImageIO writes color as subsampled YCbCr; our replicated upsample
+    // differs from libjpeg's interpolating one, so compare on a smooth
+    // gradient where both agree closely, and bound the mean difference
+    val w = 32; val h = 32
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      src.getRaster.setSample(x, y, 0, 60 + x * 2) // R
+      src.getRaster.setSample(x, y, 1, 40 + y * 2) // G
+      src.getRaster.setSample(x, y, 2, 128)        // B
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpeg", bos))
+    val bytes = bos.toByteArray
+    val ours = JpegKernel.decodeJpeg(bytes)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ours.w == w && ours.h == h)
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val t = theirs.getRaster.getSample(x, y, c) // raster order R,G,B
+      val o = ours.data((y * w + x) * 3 + c) & 0xff
+      val d = math.abs(t - o)
+      sumDiff += d; maxDiff = math.max(maxDiff, d)
+    }
+    val mean = sumDiff.toDouble / (w * h * 3)
+    assert(mean <= 1.5, s"mean diff vs ImageIO 4:2:0 decode: $mean (max $maxDiff)")
+    assert(maxDiff <= 12, s"max diff vs ImageIO 4:2:0 decode: $maxDiff")
+  }
+
+  test("truncated and non-JPEG inputs fail cleanly") {
+    intercept[IllegalArgumentException] {
+      JpegKernel.decodeJpeg("not a jpeg at all".getBytes)
+    }
+    val ok = JpegKernel.encodeGray(randGray(16, 16, 3))
+    intercept[RuntimeException] { // any structured failure, never a hang
+      JpegKernel.decodeJpeg(java.util.Arrays.copyOf(ok, ok.length / 2))
+    }
+  }
+
+  test("processJpeg emits the right part set per grid") {
+    val parts = PixelOps.processJpeg("img://0/0")
+    val rw = PixelOps.jpegRatioW("img://0/0"); val rh = PixelOps.jpegRatioH("img://0/0")
+    assert(parts.length == rw * rh + 1)
+    assert(parts.last.part == "global")
+    assert(parts.forall(p => p.pix_fp >= 0 && p.norm_fp >= 0))
+  }
+
+  test("jpeg rule pixels survive the DC-exact codec at every tile grid") {
+    for (rw <- 1 to 2; rh <- 1 to 2) {
+      val ref = s"img://$rw$rh/0"
+      val img = PixelOps.ruleJpegGray(ref, 16 * rw, 16 * rh)
+      val dec = JpegKernel.decodeJpeg(JpegKernel.encodeGray(img,
+        JpegKernel.DcExactQuant, restartInterval = 2))
+      assert(luma(dec).sameElements(img.data.map(_ & 0xff)),
+        s"rule image $ref not bit-exact through JPEG")
+    }
+  }
+}
