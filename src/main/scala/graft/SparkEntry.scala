@@ -315,6 +315,12 @@ object SparkEntry {
     "ev_stream_join" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamJoinQuery(s, t(s, dir, "events"))),
 
+    // As-of join (latest prior view per purchase) via union-tag + window
+    // carry-forward: ONE exchange, no inequality-join pair explosion.
+    "ev_asof_join" -> ((s, dir) =>
+      graft.operators.AsofOps.asofLatestPrior(t(s, dir, "events"),
+        leftType = "purchase", rightType = "view")),
+
     "ev_json" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -598,6 +604,39 @@ object SparkEntry {
         graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
       graft.pipeline.TableIO.writeResumable(rows, out)
       graft.pipeline.TableIO.readCommitted(s, out)
+        .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"span_count").cast("long").as("n_spans"))
+    }),
+
+    // Upsert / MERGE-on-read (Iceberg v2 equality-delete analog): base
+    // batch + an upsert batch rewriting every doc_id % 3 == 0 row down
+    // to one span; latest-batch-wins read, poisoned-replay no-op,
+    // batch-id time travel, and the compactMerged fixpoint all asserted
+    // in-query; final per-bucket totals hash-gated against the closed
+    // form.
+    "tio_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-upsert").toString
+      val rows = graft.pipeline.Extraction.extractRows(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
+      require(graft.pipeline.TableIO.appendBatchIdempotent(rows, out, 0L))
+      val upd = rows
+        .filter(substring($"doc_id", 2, 10).cast("long") % 3 === 0)
+        .map(r => r.copy(spans = r.spans.take(1), span_count = 1))
+      require(graft.pipeline.TableIO.appendBatchIdempotent(upd, out, 1L))
+      // poisoned replay: a second commit of batch 1 is a no-op
+      require(!graft.pipeline.TableIO.appendBatchIdempotent(upd, out, 1L))
+      // time travel: as-of batch 0 shows the pre-upsert span totals
+      val pre = graft.pipeline.TableIO.readMerged(s, out, asOfBatch = 0L)
+        .agg(sum($"span_count")).as[Long].head()
+      val post = graft.pipeline.TableIO.readMerged(s, out)
+        .agg(sum($"span_count")).as[Long].head()
+      require(pre > post, s"upsert must shrink span totals ($pre -> $post)")
+      // merge-compaction must be a fixpoint of the merged view
+      graft.pipeline.TableIO.compactMerged(s, out)
+      graft.pipeline.TableIO.readMerged(s, out)
         .groupBy($"bucket".cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
              sum($"span_count").cast("long").as("n_spans"))
@@ -1292,6 +1331,27 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |       count(*)::BIGINT AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // As-of replay with the same window construction (the carry-forward
+    // IS the spec; an ORDER BY ... LIMIT 1 lateral would also work but
+    // DuckDB's IGNORE NULLS window is exact and fast).
+    "ev_asof_join" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS r_id,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS r_us
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER win AS prior_id,
+        |    last_value(r_us IGNORE NULLS) OVER win AS prior_us
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS left_id,
+        |  coalesce(prior_id, -1)::BIGINT AS right_id,
+        |  coalesce(epoch_us(ts) - prior_us, -1)::BIGINT AS gap_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
 
     // Batch replay of the stream-stream interval join: same user, the
     // purchase within [view_ts, view_ts + 30 min].
@@ -2400,6 +2460,21 @@ object SparkEntry {
          |        WHEN tf = 1 THEN ${MediaOps.MediaHeaders.PngLen}
          |        ELSE ${MediaOps.MediaHeaders.GifLen} END)::BIGINT AS n_bytes
          |FROM r""".stripMargin,
+
+    // Merged-view replay: upserted keys (doc_id % 3 = 0) count exactly 1
+    // span; everything else keeps the tio_roundtrip closed form.
+    "tio_upsert" ->
+      s"""WITH w AS (
+         |  SELECT ${md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 1
+         |          ELSE 1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+         |             + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |             + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+         |     END) AS n_spans
+         |  FROM documents)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans
+         |FROM w GROUP BY bucket""".stripMargin,
 
     "tio_roundtrip" ->
       s"""WITH w AS (

@@ -229,6 +229,53 @@ object TableIO {
   }
 
   // ------------------------------------------------------------------
+  // Upsert: MERGE-on-read (the Iceberg MoR equality-delete analog).
+  // The WRITE side is appendBatchIdempotent unchanged — an upsert batch
+  // is an ordinary idempotent batch commit; the merge semantics live
+  // entirely at READ time: within the committed batch stream, the
+  // highest batch id wins per doc_id, i.e. every batch acts as an
+  // equality delete of older same-key rows plus an insert. This is how
+  // Iceberg v2 upserts behave before compaction — readers pay a per-key
+  // merge — and compactMerged() is the rewrite that clears the debt.
+  // ------------------------------------------------------------------
+
+  /** MERGE-on-read view of the batch stream: the latest committed batch
+    * ≤ `asOfBatch` wins per doc_id (time travel by batch id). Scale
+    * shape: ONE hash exchange on doc_id with a map-side
+    * WindowGroupLimit — per-key state is one row, never the key's
+    * history; the wire carries each surviving version once.
+    */
+  def readMerged(spark: SparkSession, outDir: String,
+                 asOfBatch: Long = Long.MaxValue): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val done = committedBatches(outDir).filter(_ <= asOfBatch)
+    if (done.isEmpty) return emptyRows(spark)
+    spark.read.option("basePath", s"$outDir/data")
+      .parquet(done.toSeq.sorted.map(b => s"$outDir/data/batch=$b"): _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"batch".cast("long").desc)))
+      .filter($"__rn" === 1)
+      .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
+              $"span_count", $"bytes", $"checksum")
+      .as[ExtractedRow]
+  }
+
+  /** Materialize the merged view as ONE new batch (next monotone id) —
+    * the Iceberg rewrite that converts merge-on-read debt back to plain
+    * scans. Older batches stay on disk, so batch-id time travel still
+    * works; re-merging after compaction is a fixpoint (the compacted
+    * batch outranks everything it merged). Returns the new batch id.
+    */
+  def compactMerged(spark: SparkSession, outDir: String): Long = {
+    val done = committedBatches(outDir)
+    require(done.nonEmpty, "compactMerged on an empty table")
+    val next = done.max + 1
+    appendBatchIdempotent(readMerged(spark, outDir), outDir, next)
+    next
+  }
+
+  // ------------------------------------------------------------------
   // Compaction + snapshot expiry (the Iceberg rewrite_data_files /
   // expire_snapshots analog). Streaming commits accumulate
   // data/batch=<id>/ dirs forever; compact() rewrites every visible row
