@@ -609,6 +609,29 @@ object SparkEntry {
              sum($"span_count").cast("long").as("n_spans"))
     }),
 
+    // Manifest-stats scan pruning (Iceberg file-skipping analog): range-
+    // clustered resumable write, then a narrow id-range read that must
+    // touch only the overlapping buckets (require(read < total)) while
+    // returning exactly the full-scan filter's rows; bucket bounds and
+    // totals replayed closed-form.
+    "tio_prune" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-prune").toString
+      val maxId = t(s, dir, "documents").agg(max($"doc_id")).as[Long].head()
+      val rows = graft.pipeline.Extraction.extractRowsClustered(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16, maxId = maxId)
+      graft.pipeline.TableIO.writeResumable(rows, out)
+      val lo = maxId * 2 / 5; val hi = maxId * 3 / 5
+      val (pruned, read, total) = graft.pipeline.TableIO.readCommittedPruned(
+        s, out, f"d$lo%010d", f"d$hi%010d")
+      require(read < total, s"pruning must skip buckets ($read/$total read)")
+      pruned.agg(count(lit(1)).as("n_docs"),
+          sum($"span_count").cast("long").as("n_spans"))
+        .withColumn("buckets_read", lit(read.toLong))
+        .withColumn("buckets_total", lit(total.toLong))
+    }),
+
     // Upsert / MERGE-on-read (Iceberg v2 equality-delete analog): base
     // batch + an upsert batch rewriting every doc_id % 3 == 0 row down
     // to one span; latest-batch-wins read, poisoned-replay no-op,
@@ -2460,6 +2483,30 @@ object SparkEntry {
          |        WHEN tf = 1 THEN ${MediaOps.MediaHeaders.PngLen}
          |        ELSE ${MediaOps.MediaHeaders.GifLen} END)::BIGINT AS n_bytes
          |FROM r""".stripMargin,
+
+    // Pruned-read replay: range buckets are monotone in doc_id, so the
+    // read set is the buckets whose [min,max] id bounds intersect the
+    // middle-fifth range; row totals are the plain filter.
+    "tio_prune" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+         |rng AS (SELECT (mid*2)//5 AS lo, (mid*3)//5 AS hi FROM mx),
+         |w AS (SELECT d.doc_id,
+         |        least(15, (d.doc_id*16)//(mx.mid+1)) AS bucket,
+         |        (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+         |         + CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_spans
+         |      FROM documents d, mx),
+         |bm AS (SELECT bucket, min(doc_id) AS bmin, max(doc_id) AS bmax
+         |       FROM w GROUP BY bucket),
+         |rd AS (SELECT count(*)::BIGINT AS buckets_read,
+         |              (SELECT count(*) FROM bm)::BIGINT AS buckets_total
+         |       FROM bm, rng WHERE bmin <= hi AND bmax >= lo)
+         |SELECT
+         |  (SELECT count(*) FROM w, rng WHERE w.doc_id BETWEEN lo AND hi)::BIGINT AS n_docs,
+         |  (SELECT CAST(sum(n_spans) AS BIGINT) FROM w, rng WHERE w.doc_id BETWEEN lo AND hi) AS n_spans,
+         |  buckets_read, buckets_total
+         |FROM rd""".stripMargin,
 
     // Merged-view replay: upserted keys (doc_id % 3 = 0) count exactly 1
     // span; everything else keeps the tio_roundtrip closed form.

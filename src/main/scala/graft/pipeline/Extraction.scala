@@ -272,4 +272,32 @@ object Extraction {
     */
   def bucketOf(docId: String, buckets: Int): Int =
     (graft.functions.Hashing.md5i(docId) % buckets).toInt
+
+  /** RANGE-clustered bucket: monotone in the numeric doc id, so each
+    * bucket owns a contiguous id interval and the manifests' min/max
+    * bounds become an effective skipping index
+    * ([[TableIO.readCommittedPruned]]). Hash buckets spread every id
+    * range across ALL buckets — resume-friendly but unprunable; this is
+    * the layout trade Iceberg exposes as partition-spec choice.
+    */
+  def rangeBucketOf(docId: String, buckets: Int, maxId: Long): Int = {
+    val id = docId.slice(1, 11).toLong
+    math.min(buckets - 1, (id * buckets / (maxId + 1)).toInt)
+  }
+
+  /** [[extractRows]] with range-clustered buckets (see [[rangeBucketOf]];
+    * `maxId` from a one-column pre-scan or catalog stats).
+    */
+  def extractRowsClustered(docs: Dataset[Doc], buckets: Int,
+                           maxId: Long): Dataset[ExtractedRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ExtractedRow]
+    docs.mapPartitions(_.map { doc =>
+      val spans = Kernel.extractSpans(doc)
+      val md = Kernel.renderMarkdown(spans)
+      ExtractedRow(doc.doc_id, spans, md,
+        rangeBucketOf(doc.doc_id, buckets, maxId), spans.size,
+        md.length.toLong,
+        Kernel.checksum(ExtractedDoc(doc.doc_id, spans, md)))
+    })
+  }
 }

@@ -49,7 +49,7 @@ object TableIO {
 
   final case class BucketManifest(bucket: Int, doc_count: Long,
       span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long,
-      files: Seq[String])
+      files: Seq[String], min_doc: String = "", max_doc: String = "")
 
   val SchemaVersion = 1
 
@@ -96,17 +96,21 @@ object TableIO {
     s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
     s""""bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
     s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum},""" +
+    s""""min_doc":"${m.min_doc}","max_doc":"${m.max_doc}",""" +
     m.files.map(f => s""""$f"""").mkString("\"files\":[", ",", "]}")
 
   /** Parsed committed manifest: (bucket, snapshot, schema_version,
     * data-file relative paths).
     */
   final case class CommittedManifest(bucket: Int, snapshot: Long,
-      schemaVersion: Int, files: Seq[String])
+      schemaVersion: Int, files: Seq[String],
+      minDoc: String = "", maxDoc: String = "")
 
   private val SnapRe = "\"snapshot\":(\\d+)".r
   private val VerRe = "\"schema_version\":(\\d+)".r
   private val FilesRe = "\"files\":\\[([^\\]]*)\\]".r
+  private val MinDocRe = "\"min_doc\":\"([^\"]*)\"".r
+  private val MaxDocRe = "\"max_doc\":\"([^\"]*)\"".r
 
   def committedManifests(outDir: String): Seq[CommittedManifest] =
     listNames(manifestDir(outDir), "bucket-", ".json").sorted.map { name =>
@@ -117,7 +121,9 @@ object TableIO {
       val files = FilesRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
         .split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
-      CommittedManifest(bucket, snap, ver, files)
+      CommittedManifest(bucket, snap, ver, files,
+        MinDocRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""),
+        MaxDocRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
     }
 
   /** Data files of one just-written bucket, as outDir/data-relative paths. */
@@ -157,14 +163,17 @@ object TableIO {
         sum($"span_count").cast("long").as("span_count"),
         sum($"bytes").cast("long").as("bytes"),
         // order-insensitive streamable checksum over per-doc FNV checksums
-        expr("bit_xor(checksum)").as("span_checksum"))
-      .as[(Int, Long, Long, Long, Long)].collect()
+        expr("bit_xor(checksum)").as("span_checksum"),
+        // per-bucket key bounds: the Iceberg column-stats analog that
+        // lets readCommittedPruned skip whole buckets by predicate
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .as[(Int, Long, Long, Long, Long, String, String)].collect()
     val wallMs = (System.nanoTime() - t0) / 1000000
     val snapshot = currentSnapshot(outDir) + 1
-    stats.foreach { case (b, dc, sc, by, ck) =>
+    stats.foreach { case (b, dc, sc, by, ck, lo, hi) =>
       writeAtomic(manifestPath(outDir, b),
         manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck,
-          bucketFiles(outDir, b)), snapshot))
+          bucketFiles(outDir, b), lo, hi), snapshot))
     }
     writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
       s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
@@ -689,5 +698,38 @@ object TableIO {
       .select($"doc_id", $"spans", $"markdown", $"bucket".cast("int").as("bucket"),
               $"span_count", $"bytes", $"checksum")
       .as[ExtractedRow]
+  }
+
+  /** Manifest-stats scan pruning (the Iceberg partition/file-skipping
+    * analog): read ONLY the buckets whose [min_doc, max_doc] key bounds
+    * intersect [loDoc, hiDoc], then apply the exact filter. With a
+    * range-clustered layout ([[Extraction.extractRowsClustered]]) a
+    * narrow predicate touches a few buckets instead of the table — at
+    * 100 TB this is the difference between a point-lookup job and a full
+    * scan. Doc ids are fixed-width zero-padded, so lexicographic bound
+    * comparison equals numeric comparison. Manifests written before the
+    * stats existed carry empty bounds and are conservatively always
+    * read. Returns (exact-filtered rows, buckets read, buckets total).
+    */
+  def readCommittedPruned(spark: SparkSession, outDir: String,
+                          loDoc: String, hiDoc: String):
+      (Dataset[ExtractedRow], Int, Int) = {
+    import spark.implicits._
+    val manifests = committedManifests(outDir)
+    val live = manifests.filter { m =>
+      m.minDoc.isEmpty || m.maxDoc.isEmpty ||
+        (m.minDoc <= hiDoc && m.maxDoc >= loDoc)
+    }
+    val files = live.flatMap(_.files).map(f => s"$outDir/data/$f")
+    val rows =
+      if (files.isEmpty) emptyRows(spark)
+      else spark.read.option("basePath", s"$outDir/data")
+        .parquet(files: _*)
+        .filter($"doc_id" >= loDoc && $"doc_id" <= hiDoc)
+        .select($"doc_id", $"spans", $"markdown",
+                $"bucket".cast("int").as("bucket"),
+                $"span_count", $"bytes", $"checksum")
+        .as[ExtractedRow]
+    (rows, live.size, manifests.size)
   }
 }
