@@ -339,6 +339,18 @@ object SparkEntry {
       viewed.join(bought, Seq("hr"), "left_anti")
     }),
 
+    // Bloom-filter semi-join (runtime-filter pattern): the purchaser
+    // filter crosses the cluster as 64 longs instead of a shuffle;
+    // exact-vs-candidate accounting and the exact bit pattern gated.
+    "bloom_semijoin" -> ((s, dir) =>
+      graft.operators.SketchOps.bloomSemiJoin(t(s, dir, "events"))),
+
+    // Mergeable fixed-bin histogram quantile: p50/p95 per event_type
+    // from a constant-size count aggregation (the streaming quantile
+    // sketch when the value domain is known).
+    "agg_hist_quantile" -> ((s, dir) =>
+      graft.operators.SketchOps.histQuantiles(t(s, dir, "events"))),
+
     "agg_median" -> ((s, dir) => {
       import s.implicits._
       // exact interpolating median over integer cents; ×2 keeps the
@@ -1396,6 +1408,48 @@ object SparkEntry {
       """SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr FROM events WHERE event_type = 'view'
         |EXCEPT
         |SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hr FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    // Bloom replay: identical word/bit math over the shared md5i hash
+    // (63 bits per word keeps every BIGINT non-negative on both engines).
+    "bloom_semijoin" ->
+      s"""WITH pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         |ppos AS (
+         |  SELECT ${md5iSql("'bf' || t.i || '|' || CAST(user_id AS VARCHAR)")} % 4032 AS p
+         |  FROM pu, (SELECT unnest([0,1,2]) AS i) t),
+         |words AS (
+         |  SELECT p // 63 AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+         |  FROM ppos GROUP BY p // 63),
+         |fp AS (SELECT CAST(sum(((w + 1) * (bits % 1000000007)) % 1000000007)
+         |         % 1000000007 AS BIGINT) AS bloom_fp FROM words),
+         |vu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         |vpos AS (
+         |  SELECT user_id,
+         |    ${md5iSql("'bf' || t.i || '|' || CAST(user_id AS VARCHAR)")} % 4032 AS p
+         |  FROM vu, (SELECT unnest([0,1,2]) AS i) t),
+         |hits AS (
+         |  SELECT v.user_id,
+         |    sum(CASE WHEN ((coalesce(w.bits, 0) >> CAST(v.p % 63 AS INT)) & 1) = 1
+         |        THEN 1 ELSE 0 END) AS nbits
+         |  FROM vpos v LEFT JOIN words w ON w.w = v.p // 63
+         |  GROUP BY v.user_id)
+         |SELECT (SELECT count(*) FROM vu)::BIGINT AS n_viewers,
+         |  (SELECT count(*) FROM hits WHERE nbits = 3)::BIGINT AS n_candidates,
+         |  (SELECT count(*) FROM vu WHERE user_id IN (SELECT user_id FROM pu))::BIGINT AS n_true,
+         |  (SELECT bloom_fp FROM fp) AS bloom_fp""".stripMargin,
+
+    "agg_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) // 16 AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_bin,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS BIGINT) AS p95_bin
+        |FROM cum GROUP BY event_type""".stripMargin,
 
     "agg_median" ->
       """SELECT event_type,
