@@ -315,6 +315,31 @@ object SparkEntry {
     "ev_stream_join" -> ((s, dir) =>
       graft.streaming.StreamingExtract.streamJoinQuery(s, t(s, dir, "events"))),
 
+    // dropDuplicatesWithinWatermark under a REAL replayed-duplicate
+    // stream (the at-least-once-source shape): the 5th micro-batch
+    // replays recent rows; watermark-bounded state dedups them and the
+    // final aggregate equals the duplicate-free batch closed form.
+    "ev_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingExtract.streamDedupQuery(s, t(s, dir, "events"))),
+
+    // Pivot (counts per event_type column, one row per hour): the §2.4
+    // wide-aggregation family over an explicit pivot value list.
+    "ev_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("win_us",
+          unix_micros(date_trunc("hour", $"ts").cast("timestamp_ltz")))
+        .groupBy($"win_us")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select($"win_us",
+          coalesce($"view", lit(0L)).as("n_view"),
+          coalesce($"click", lit(0L)).as("n_click"),
+          coalesce($"purchase", lit(0L)).as("n_purchase"),
+          coalesce($"signup", lit(0L)).as("n_signup"),
+          coalesce($"error", lit(0L)).as("n_error"))
+    }),
+
     // As-of join (latest prior view per purchase) via union-tag + window
     // carry-forward: ONE exchange, no inequality-join pair explosion.
     "ev_asof_join" -> ((s, dir) =>
@@ -1366,6 +1391,22 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |       count(*)::BIGINT AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // Stream-dedup replay: the duplicates are dropped by the watermark
+    // state, so the oracle is the plain duplicate-free aggregate.
+    "ev_stream_dedup" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_pivot" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
 
     // As-of replay with the same window construction (the carry-forward
     // IS the spec; an ORDER BY ... LIMIT 1 lateral would also work but

@@ -254,6 +254,55 @@ object StreamingExtract {
     spark.table(name)
   }
 
+  /** Driver query ST-coverage: dropDuplicatesWithinWatermark under a
+    * REAL replayed-duplicate stream. Four in-order batches, then a
+    * fifth batch REPLAYING the event_id % 3 == 0 rows of the newest 30
+    * minutes (strictly inside the 1-hour watermark horizon, so their
+    * dedup state is guaranteed live) — the at-least-once-source shape
+    * exactly-once pipelines dedup against. State is one key per event
+    * inside the horizon, evicted by the watermark; the final table must
+    * equal the duplicate-free batch aggregate bit-for-bit.
+    */
+  def streamDedupQuery(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val total = events.count()
+    val bucketed = events.withColumn("__b",
+      ((row_number().over(w) - 1) * 4 / total).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val src =
+      try {
+        val parts = (0 until 4).map(i =>
+          bucketed.filter(col("__b") === i).drop("__b"))
+        val maxUs = events
+          .agg(max(unix_micros(col("ts").cast("timestamp_ltz"))))
+          .head().getLong(0)
+        val dupes = bucketed.filter(
+            unix_micros(col("ts").cast("timestamp_ltz")) >=
+              maxUs - 1800000000L &&
+            col("event_id") % 3 === 0).drop("__b")
+        stageOrderedParts(spark, parts :+ dupes)
+      } finally bucketed.unpersist(blocking = false)
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val schema = spark.read.parquet(src).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    withStatePartitions(spark, 8) {
+      val q = in.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+  }
+
   /** Driver query ST-coverage: a REAL stream-stream interval join —
     * the purchase-attribution shape. Views and purchases read as two
     * watermarked file streams (4 in-order batches each); a purchase

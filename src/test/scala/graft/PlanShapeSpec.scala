@@ -168,4 +168,48 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("corpus_vocab_hll: 256-byte partial sketch BEFORE the single exchange") {
+    val p = plan("corpus_vocab_hll")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    // map-side partial HLL registers must appear below the exchange
+    val partialIdx = p.indexOf("partial_graft_hll_regs")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, "partial HLL aggregate missing")
+    // executedPlan prints top-down: the exchange line precedes (is above)
+    // the partial aggregate line
+    assert(exchangeIdx < partialIdx,
+      "partial sketch must sit below the exchange (map side)")
+  }
+
+  test("sample_weighted: map-side top-k limit before ONE exchange") {
+    val p = plan("sample_weighted")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    // rank pushdown bounds per-key rows BEFORE they cross the wire —
+    // either Spark's WindowGroupLimit pair (bare session) or the native
+    // TopKPerKey pair (when GraftExtensions is installed in the shared
+    // session by an earlier suite); both are partial+final around the
+    // single exchange
+    val boundedPairs = countOf(p, "WindowGroupLimit") +
+      countOf(p, "TopKPerKey \\d")
+    assert(boundedPairs == 2,
+      s"expect partial (map-side) + final bounded top-k, got:\n$p")
+  }
+
+  test("bloom_semijoin probe: filter words broadcast, never shuffled") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val words = graft.operators.SketchOps.bloomBuild(
+      events.filter(col("event_type") === "purchase").select(col("user_id")))
+    val p = words.queryExecution.executedPlan.toString
+    // the filter build is one aggregation: partial bit_or below a single
+    // exchange of <= 64 word rows
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("ev_asof_join: one exchange, no join operator at all") {
+    val p = plan("ev_asof_join")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p)
+  }
 }
