@@ -387,6 +387,19 @@ object SparkEntry {
              count(lit(1)).as("n"))
     }),
 
+    // CUBE (all 2^2 grouping sets in one pass — partial-aggregable like
+    // any hash aggregate, the §2.4 wide-grouping sibling of q_rollup).
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum(round($"l_quantity" * 100).cast("long")).as("qty_c"))
+        .select(coalesce($"l_returnflag", lit("(all)")).as("l_returnflag"),
+                coalesce($"l_linestatus", lit("(all)")).as("l_linestatus"),
+                $"n", $"qty_c")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       import s.implicits._
       val geo = t(s, dir, "customer")
@@ -618,6 +631,12 @@ object SparkEntry {
     // by JpegSpec against the JDK ImageIO codec.
     "mm_jpeg_pixels" -> ((s, dir) =>
       graft.operators.PixelOps.jpegPixelParts(s, t(s, dir, "documents"))),
+
+    // Audio modality: REAL RIFF/WAVE PCM-16 codec (chunk walk, LE byte
+    // order) → windowed integer energy features; the closed-form sample
+    // rule lets the oracle replay every window exactly.
+    "mm_audio_energy" -> ((s, dir) =>
+      graft.operators.AudioOps.audioParts(s, t(s, dir, "documents"))),
 
     // S1 source end-to-end: media items materialized as real image files
     // (PNG/JPEG/GIF headers), scanned back via the binaryFile DataSource,
@@ -1498,6 +1517,14 @@ object SparkEntry {
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(n_name, '(all)') AS n_name,
         |  count(*)::BIGINT AS n_orders,
@@ -2245,6 +2272,25 @@ object SparkEntry {
          |  FROM canvas GROUP BY media_ref)
          |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
          |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+
+    // Audio rule replay: quadratic PCM rule regenerated per sample,
+    // grouped into 8000-sample windows, integer energy.
+    "mm_audio_energy" ->
+      s"""WITH refs AS (
+         |  SELECT 'aud://' || doc_id AS media_ref FROM documents WHERE doc_id % 5 = 0),
+         |meta AS (
+         |  SELECT media_ref,
+         |    (${md5iSql("'as|' || media_ref")} % 1999) AS seed,
+         |    16000 * (1 + ${md5iSql("'alen|' || media_ref")} % 2) AS n
+         |  FROM refs),
+         |s AS (
+         |  SELECT m.media_ref, g.i // 8000 AS win,
+         |    ((7*g.i*g.i + 13*g.i + m.seed) % 2001 - 1000) AS v
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.n - 1)) AS i) g)
+         |SELECT media_ref, win::BIGINT AS win, count(*)::BIGINT AS n_samples,
+         |  CAST(sum(v*v) AS BIGINT) AS energy
+         |FROM s GROUP BY media_ref, win""".stripMargin,
 
     // JPEG rule replay: block-constant luma v = (5·⌊x/8⌋+9·⌊y/8⌋+s) mod
     // 256 replicated to RGB — bit-exact through the engine's real JPEG

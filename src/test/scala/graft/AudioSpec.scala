@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.AudioOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class AudioSpec extends AnyFunSuite {
+
+  test("WAV codec round trips samples exactly") {
+    val rng = new scala.util.Random(3)
+    for (n <- Seq(1, 777, 16000)) {
+      val s = Array.fill(n)(rng.nextInt(65536).toShort)
+      val dec = AudioOps.decodeWav(AudioOps.encodeWav(s))
+      assert(dec.rate == AudioOps.SampleRate && dec.channels == 1)
+      assert(dec.samples.sameElements(s), s"roundtrip failed at n=$n")
+    }
+  }
+
+  test("decoder skips unknown chunks between fmt and data") {
+    val s = AudioOps.ruleSamples("aud://7", 1000)
+    val wav = AudioOps.encodeWav(s)
+    // splice a LIST chunk (8-byte header + 4 payload bytes) before data
+    // (data starts at offset 36 in the canonical layout)
+    val list = "LIST".getBytes("ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = wav.slice(0, 36) ++ list ++ wav.drop(36)
+    // fix RIFF size field (bytes 4-7, LE)
+    val riffLen = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte
+    val dec = AudioOps.decodeWav(spliced)
+    assert(dec.samples.sameElements(s))
+  }
+
+  test("cross-decoder parity: javax.sound reads our bitstream exactly") {
+    val s = AudioOps.ruleSamples("aud://42", 4321)
+    val bytes = AudioOps.encodeWav(s)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == AudioOps.SampleRate.toFloat)
+    assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    val raw = in.readAllBytes()
+    assert(raw.length == s.length * 2)
+    val theirs = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val got = Array.fill(s.length)(theirs.get())
+    assert(got.sameElements(s), "JDK decode differs from our samples")
+  }
+
+  test("malformed inputs fail cleanly") {
+    intercept[IllegalArgumentException] {
+      AudioOps.decodeWav("RIFFxxxxJUNK".getBytes("ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      AudioOps.decodeWav("not audio".getBytes("ASCII"))
+    }
+  }
+
+  test("processAudio windows and energies are exact") {
+    val parts = AudioOps.processAudio("aud://15")
+    val secs = AudioOps.durationSecs("aud://15")
+    assert(parts.length == secs * 2) // two 0.5s windows per second
+    assert(parts.forall(_.n_samples == AudioOps.WindowSamples))
+    // independent energy replay from the rule
+    val s = AudioOps.ruleSamples("aud://15", AudioOps.SampleRate * secs)
+    val expect = s.grouped(AudioOps.WindowSamples).map(
+      _.foldLeft(0L)((a, v) => a + v.toLong * v)).toSeq
+    assert(parts.map(_.energy) == expect)
+  }
+}
