@@ -423,7 +423,12 @@ object JpegKernel {
         case 0xc0 => // SOF0 baseline
           require((bytes(body) & 0xff) == 8, "only 8-bit precision")
           h = u16(body + 1); w = u16(body + 3)
+          // allocation sanity: a fuzzed/corrupt SOF must not request a
+          // multi-GB plane — fail structured before any buffer exists
+          require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+            s"implausible frame ${w}x$h")
           val nf = bytes(body + 5) & 0xff
+          require(nf >= 1 && nf <= 4, s"implausible component count $nf")
           comps = Array.tabulate(nf) { i =>
             val o = body + 6 + 3 * i
             Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,

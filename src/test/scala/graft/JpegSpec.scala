@@ -151,6 +151,48 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 12, s"max diff vs ImageIO 4:2:0 decode: $maxDiff")
   }
 
+  test("fuzz: mutated and garbage bitstreams terminate with structured errors") {
+    val rng = new scala.util.Random(97)
+    val valid = JpegKernel.encodeGray(randGray(32, 24, 41),
+      JpegKernel.DcExactQuant, restartInterval = 2)
+    var decodedOk = 0
+    for (trial <- 0 until 200) {
+      val bytes = trial % 4 match {
+        case 0 => Array.fill(rng.nextInt(200) + 2)(rng.nextInt(256).toByte)
+        case 1 => // single byte flip anywhere
+          val b = valid.clone()
+          b(rng.nextInt(b.length)) = (b(rng.nextInt(b.length)) ^ (1 << rng.nextInt(8))).toByte
+          b
+        case 2 => java.util.Arrays.copyOf(valid, rng.nextInt(valid.length) + 1)
+        case _ => // splice random segment lengths into the header zone
+          val b = valid.clone()
+          b(rng.nextInt(20) + 2) = rng.nextInt(256).toByte
+          b
+      }
+      // the property: ALWAYS terminates, failures are structured
+      // RuntimeExceptions (never a hang, never a multi-GB allocation)
+      try { JpegKernel.decodeJpeg(bytes); decodedOk += 1 }
+      catch { case _: RuntimeException => () }
+    }
+    assert(decodedOk >= 0) // property is termination; count is informational
+  }
+
+  test("implausible SOF dimensions are rejected before allocation") {
+    val valid = JpegKernel.encodeGray(randGray(16, 16, 5))
+    // SOF0 of this layout sits after SOI(2) + APP0(18) + DQT(69): find it
+    val sof = {
+      var i = 2
+      while (!((valid(i) & 0xff) == 0xff && (valid(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val b = valid.clone()
+    // h := 0xffff, w := 0xffff → 4.3G pixels
+    b(sof + 5) = 0xff.toByte; b(sof + 6) = 0xff.toByte
+    b(sof + 7) = 0xff.toByte; b(sof + 8) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] { JpegKernel.decodeJpeg(b) }
+    assert(e.getMessage.contains("implausible frame"))
+  }
+
   test("truncated and non-JPEG inputs fail cleanly") {
     intercept[IllegalArgumentException] {
       JpegKernel.decodeJpeg("not a jpeg at all".getBytes)
