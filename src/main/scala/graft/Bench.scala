@@ -177,15 +177,28 @@ object Bench {
     * treatment the scaling ratio gets, so one steal-stolen window can't
     * invert the committed ordering. Returns (summary-mins, raw-walls).
     */
-  private def skewTimes(spark: SparkSession, sfDir: String, factor: Int,
-      hot: Int): (Map[String, Double], Map[String, Seq[Double]]) = {
+  /** The skew dataset + interleave pattern, shared with the standalone
+    * [[graft.SkewProbe]] diagnostic so the probe can never measure a
+    * different scenario than the official bench.
+    */
+  private[graft] def skewedDocs(spark: SparkSession, sfDir: String,
+      factor: Int, hot: Int): Dataset[Doc] = {
     import spark.implicits._
-    def skewed = amplified(spark, sfDir, factor).map { d =>
+    amplified(spark, sfDir, math.max(1, factor)).map { d =>
       val baseNum = d.doc_id.slice(1, 11).toLong // "dNNNNNNNNNN[-i]"
       if (baseNum % 5000 < 250)
         Doc(d.doc_id, Seq.fill(hot)(d.spans).flatten)
       else d
     }
+  }
+
+  /** Both orders: S,U,S,U then U,S,U,S (64 = salted, 1 = unsalted). */
+  private[graft] val SkewPattern = Seq(64, 1, 64, 1, 1, 64, 1, 64)
+
+  private def skewTimes(spark: SparkSession, sfDir: String, factor: Int,
+      hot: Int): (Map[String, Double], Map[String, Seq[Double]]) = {
+    import spark.implicits._
+    def skewed = skewedDocs(spark, sfDir, factor, hot)
     def run(saltBuckets: Int): Double = {
       val t0 = System.nanoTime()
       graft.pipeline.Extraction.pipeline(skewed, saltBuckets = saltBuckets)
@@ -193,8 +206,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     run(64); run(1) // warm BOTH paths (codegen + page cache)
-    val pattern = Seq(64, 1, 64, 1, 1, 64, 1, 64)
-    val walls = pattern.map(b => (b, run(b)))
+    val walls = SkewPattern.map(b => (b, run(b)))
     val salted = walls.collect { case (64, w) => w }
     val unsalt = walls.collect { case (1, w) => w }
     (Map(s"skew${hot}_salted" -> salted.min, s"skew${hot}_nosalt" -> unsalt.min),

@@ -84,15 +84,19 @@ object AudioOps {
           val fmt = bb.getShort()
           require(fmt == 1, s"only PCM supported, got format $fmt")
           channels = bb.getShort()
+          require(channels == 1,
+            s"only mono supported, got $channels channels — a stereo " +
+            "stream decoded as mono would interleave L/R samples silently")
           rate = bb.getInt()
           bb.getInt(); bb.getShort()
           bits = bb.getShort()
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
-          bb.position(start + len)
+          bb.position(start + len + (len & 1)) // RIFF chunks are word-aligned
         case "data" =>
           require(rate > 0, "data chunk before fmt")
           samples = Array.fill(len / 2)(bb.getShort())
-        case _ => bb.position(bb.position() + len) // skip unknown chunk
+        case _ => // skip unknown chunk incl. its odd-length pad byte
+          bb.position(bb.position() + len + (len & 1))
       }
     }
     require(samples != null, "no data chunk")

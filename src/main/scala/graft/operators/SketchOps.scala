@@ -50,10 +50,14 @@ object SketchOps {
     import spark.implicits._
     val purchasers = events.filter($"event_type" === "purchase")
       .select($"user_id").distinct()
-    val words = bloomBuild(purchasers)
-    val fp = words.select(
-      sum(((col("w") + 1) * (col("bits") % 1000000007L)) % 1000000007L))
-      .as[Long].head() % 1000000007L
+    // materialize the filter ONCE (<= BloomWords rows — this collect IS
+    // the "ship the filter" step): the checksum and the broadcast probe
+    // side both reuse it instead of re-running the build aggregation
+    val wordRows = bloomBuild(purchasers).as[(Long, Long)].collect()
+    val fp = wordRows.map { case (w, bits) =>
+      ((w + 1) * (bits % 1000000007L)) % 1000000007L
+    }.sum % 1000000007L
+    val words = wordRows.toSeq.toDF("w", "bits")
     val viewers = events.filter($"event_type" === "view")
       .select($"user_id").distinct()
     val probes = viewers.select($"user_id",

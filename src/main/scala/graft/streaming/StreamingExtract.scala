@@ -214,9 +214,14 @@ object StreamingExtract {
     dir.toString
   }
 
-  /** Stage the events table as `nFiles` time-ranged parquet files. */
+  /** Stage the events table as `nFiles` time-ranged parquet files.
+    * `extraParts` may derive additional TRAILING batches from the
+    * time-bucketed frame (column `__b` = file index) — e.g. a
+    * replayed-duplicate batch; they share the single persisted sort.
+    */
   def stageTimeOrderedFiles(spark: SparkSession, events: DataFrame,
-                            orderCols: Seq[String], nFiles: Int): String = {
+      orderCols: Seq[String], nFiles: Int,
+      extraParts: DataFrame => Seq[DataFrame] = _ => Nil): String = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(orderCols.map(col): _*)
     val total = events.count()
@@ -226,7 +231,8 @@ object StreamingExtract {
       ((row_number().over(w) - 1) * nFiles / total).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try stageOrderedParts(spark,
-      (0 until nFiles).map(i => bucketed.filter(col("__b") === i).drop("__b")))
+      (0 until nFiles).map(i => bucketed.filter(col("__b") === i).drop("__b"))
+        ++ extraParts(bucketed).map(_.drop("__b")))
     finally bucketed.unpersist(blocking = false)
   }
 
@@ -264,25 +270,13 @@ object StreamingExtract {
     * equal the duplicate-free batch aggregate bit-for-bit.
     */
   def streamDedupQuery(spark: SparkSession, events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    val total = events.count()
-    val bucketed = events.withColumn("__b",
-      ((row_number().over(w) - 1) * 4 / total).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val src =
-      try {
-        val parts = (0 until 4).map(i =>
-          bucketed.filter(col("__b") === i).drop("__b"))
-        val maxUs = events
-          .agg(max(unix_micros(col("ts").cast("timestamp_ltz"))))
-          .head().getLong(0)
-        val dupes = bucketed.filter(
-            unix_micros(col("ts").cast("timestamp_ltz")) >=
-              maxUs - 1800000000L &&
-            col("event_id") % 3 === 0).drop("__b")
-        stageOrderedParts(spark, parts :+ dupes)
-      } finally bucketed.unpersist(blocking = false)
+    val maxUs = events
+      .agg(max(unix_micros(col("ts").cast("timestamp_ltz"))))
+      .head().getLong(0)
+    val src = stageTimeOrderedFiles(spark, events, Seq("ts", "event_id"), 4,
+      extraParts = bucketed => Seq(bucketed.filter(
+        unix_micros(col("ts").cast("timestamp_ltz")) >= maxUs - 1800000000L &&
+          col("event_id") % 3 === 0)))
     val name = s"graft_stream_dedup_${System.nanoTime()}"
     val schema = spark.read.parquet(src).schema
     val in = spark.readStream.schema(schema)

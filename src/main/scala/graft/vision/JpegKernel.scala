@@ -375,9 +375,12 @@ object JpegKernel {
 
   /** Decoded scan at the coefficient level: per component, DEQUANTIZED
     * blocks in natural order, at component resolution (for tests and for
-    * the pixel stage).
+    * the pixel stage). `grids` carries each component's block-grid
+    * (width, height) — MCU-padded for interleaved scans, exact
+    * ceil(dim/8) for a non-interleaved single-component scan.
     */
-  final case class Coefficients(w: Int, h: Int, comps: Seq[(Component, Array[Array[Int]])])
+  final case class Coefficients(w: Int, h: Int,
+      comps: Seq[(Component, Array[Array[Int]])], grids: Seq[(Int, Int)])
 
   def decodeCoefficients(bytes: Array[Byte]): Coefficients = {
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
@@ -456,46 +459,73 @@ object JpegKernel {
     val hmax = scanComps.map(_.h).max; val vmax = scanComps.map(_.v).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // per-component block grids (MCU-padded)
+    // T.81 A.2: a single-component scan is NON-interleaved — the MCU is
+    // one data unit and the grid is exactly ceil(dim/8) at component
+    // resolution, regardless of the frame's sampling factors.
+    // Multi-component scans interleave MCU-padded h×v block clusters.
+    val single = scanComps.length == 1
     val grids = scanComps.map { c =>
-      (c, mcusX * c.h, mcusY * c.v, new Array[Array[Int]](mcusX * c.h * mcusY * c.v))
+      val (gw, gh) =
+        if (single) {
+          val pw = (w * c.h + hmax - 1) / hmax
+          val ph = (h * c.v + vmax - 1) / vmax
+          ((pw + 7) / 8, (ph + 7) / 8)
+        } else (mcusX * c.h, mcusY * c.v)
+      (c, gw, gh, new Array[Array[Int]](gw * gh))
     }
     val in = new BitReader(bytes, pos)
     val dcPred = new Array[Int](scanComps.length)
     var rst = 0
-    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
-      val mcuIdx = my * mcusX + mx
-      if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+
+    def decodeUnit(cIdx: Int, c: Component, q: Array[Int]): Array[Int] = {
+      val coef = new Array[Int](64)
+      val t = dcTabs(c.td).decode(in)
+      dcPred(cIdx) += extend(in.receive(t), t)
+      coef(0) = dcPred(cIdx) * q(0)
+      var zi = 1
+      while (zi < 64) {
+        val rs = acTabs(c.ta).decode(in)
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) zi += 16 // ZRL
+          else zi = 64 // EOB
+        } else {
+          zi += run
+          require(zi < 64, s"AC run overflows the block (zi=$zi)")
+          coef(Zigzag(zi)) = extend(in.receive(size), size) * q(Zigzag(zi))
+          zi += 1
+        }
+      }
+      coef
+    }
+    def maybeRestart(unitIdx: Int): Unit =
+      if (restartInterval > 0 && unitIdx > 0 && unitIdx % restartInterval == 0) {
         in.restart(rst); rst = (rst + 1) % 8
         java.util.Arrays.fill(dcPred, 0)
       }
-      for (cIdx <- grids.indices) {
-        val (c, gw, _, grid) = grids(cIdx)
-        val q = quant(c.tq)
-        require(q != null, s"missing quant table ${c.tq}")
-        for (by <- 0 until c.v; bx <- 0 until c.h) {
-          val coef = new Array[Int](64)
-          val t = dcTabs(c.td).decode(in)
-          dcPred(cIdx) += extend(in.receive(t), t)
-          coef(0) = dcPred(cIdx) * q(0)
-          var zi = 1
-          while (zi < 64) {
-            val rs = acTabs(c.ta).decode(in)
-            val run = rs >> 4; val size = rs & 0x0f
-            if (size == 0) {
-              if (run == 15) zi += 16 // ZRL
-              else zi = 64 // EOB
-            } else {
-              zi += run
-              coef(Zigzag(zi)) = extend(in.receive(size), size) * q(Zigzag(zi))
-              zi += 1
-            }
-          }
-          grid((my * c.v + by) * gw + (mx * c.h + bx)) = coef
+
+    if (single) {
+      val (c, gw, gh, grid) = grids.head
+      val q = quant(c.tq)
+      require(q != null, s"missing quant table ${c.tq}")
+      for (by <- 0 until gh; bx <- 0 until gw) {
+        maybeRestart(by * gw + bx)
+        grid(by * gw + bx) = decodeUnit(0, c, q)
+      }
+    } else {
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        maybeRestart(my * mcusX + mx)
+        for (cIdx <- grids.indices) {
+          val (c, gw, _, grid) = grids(cIdx)
+          val q = quant(c.tq)
+          require(q != null, s"missing quant table ${c.tq}")
+          for (by <- 0 until c.v; bx <- 0 until c.h)
+            grid((my * c.v + by) * gw + (mx * c.h + bx)) = decodeUnit(cIdx, c, q)
         }
       }
     }
-    Coefficients(w, h, grids.map { case (c, _, _, g) => (c, g) }.toSeq)
+    Coefficients(w, h, grids.map { case (c, _, _, g) => (c, g) }.toSeq,
+      grids.map { case (_, gw, gh, _) => (gw, gh) }.toSeq)
   }
 
   /** Reconstruct one component plane at its own resolution. */
@@ -519,13 +549,11 @@ object JpegKernel {
     * JFIF inverse transform; subsampled chroma upsampled by replication).
     */
   def decodeJpeg(bytes: Array[Byte]): Rgb = {
-    val Coefficients(w, h, comps) = decodeCoefficients(bytes)
+    val Coefficients(w, h, comps, gridDims) = decodeCoefficients(bytes)
     val hmax = comps.map(_._1.h).max; val vmax = comps.map(_._1.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val planes = comps.map { case (c, grid) =>
+    val planes = comps.zip(gridDims).map { case ((c, grid), (gw, gh)) =>
       val pw = (w * c.h + hmax - 1) / hmax; val ph = (h * c.v + vmax - 1) / vmax
-      (c, pw, reconstructPlane(grid, mcusX * c.h, mcusY * c.v, pw, ph))
+      (c, pw, reconstructPlane(grid, gw, gh, pw, ph))
     }
     val out = new Array[Byte](w * h * 3)
     if (planes.length == 1) {

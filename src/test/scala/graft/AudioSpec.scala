@@ -45,6 +45,27 @@ class AudioSpec extends AnyFunSuite {
     assert(got.sameElements(s), "JDK decode differs from our samples")
   }
 
+  test("stereo is rejected, never silently interleaved") {
+    val s = AudioOps.ruleSamples("aud://9", 100)
+    val wav = AudioOps.encodeWav(s)
+    wav(22) = 2 // fmt channels field (LE u16 at offset 22)
+    val e = intercept[IllegalArgumentException] { AudioOps.decodeWav(wav) }
+    assert(e.getMessage.contains("mono"))
+  }
+
+  test("odd-length unknown chunks keep the RIFF word alignment") {
+    val s = AudioOps.ruleSamples("aud://11", 64)
+    val wav = AudioOps.encodeWav(s)
+    // 5-byte LIST payload → 1 pad byte follows per RIFF word alignment
+    val list = "LIST".getBytes("ASCII") ++
+      Array[Byte](5, 0, 0, 0, 1, 2, 3, 4, 5, 0 /* pad */)
+    val spliced = wav.slice(0, 36) ++ list ++ wav.drop(36)
+    val riffLen = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte
+    val dec = AudioOps.decodeWav(spliced)
+    assert(dec.samples.sameElements(s))
+  }
+
   test("malformed inputs fail cleanly") {
     intercept[IllegalArgumentException] {
       AudioOps.decodeWav("RIFFxxxxJUNK".getBytes("ASCII"))

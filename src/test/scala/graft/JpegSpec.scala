@@ -193,6 +193,27 @@ class JpegSpec extends AnyFunSuite {
     assert(e.getMessage.contains("implausible frame"))
   }
 
+  test("single-component scans are non-interleaved (T.81 A.2)") {
+    // a grayscale frame declaring 2x2 sampling factors (e.g. jpegtran
+    // -grayscale keeping luma's factors from a 4:2:0 source) must decode
+    // identically to the 1x1 declaration: one-component scans ignore
+    // sampling and run ceil(dim/8) data units row-major
+    val img = randGray(24, 24, seed = 77)
+    val bytes = JpegKernel.encodeGray(img, JpegKernel.DcExactQuant)
+    val expected = luma(JpegKernel.decodeJpeg(bytes))
+    val patched = bytes.clone()
+    val sof = {
+      var i = 2
+      while (!((patched(i) & 0xff) == 0xff && (patched(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    assert((patched(sof + 11) & 0xff) == 0x11, "sampling byte offset moved")
+    patched(sof + 11) = 0x22.toByte
+    val got = luma(JpegKernel.decodeJpeg(patched))
+    assert(got.sameElements(expected),
+      "2x2-sampled single-component scan must decode like 1x1")
+  }
+
   test("truncated and non-JPEG inputs fail cleanly") {
     intercept[IllegalArgumentException] {
       JpegKernel.decodeJpeg("not a jpeg at all".getBytes)

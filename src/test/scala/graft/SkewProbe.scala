@@ -1,12 +1,14 @@
 package graft
 
-import graft.schema.Doc
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dedicated skew-salting measurement: interleaved salted/unsalted reps
   * in BOTH orders within one session, per hot-factor, printing every raw
   * rep — the discipline VERDICT r3 asked the official bench to adopt.
+  * The skew dataset and interleave pattern come from [[Bench.skewedDocs]]
+  * / [[Bench.SkewPattern]], so the probe measures EXACTLY the official
+  * bench's scenario.
   * Run: `Test/runMain graft.SkewProbe <sfDir> <factor> <hotFactor...>`
   */
 object SkewProbe {
@@ -26,25 +28,17 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def skewed(hot: Int) = graft.corpus.CorpusDerive.derive(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism * 4)
-      .flatMap(d => (0 until factor).iterator.map(i => Doc(s"${d.doc_id}-$i", d.spans)))
-      .map { d =>
-        val baseNum = d.doc_id.slice(1, 11).toLong
-        if (baseNum % 5000 < 250) Doc(d.doc_id, Seq.fill(hot)(d.spans).flatten)
-        else d
-      }
-
     hotFactors.foreach { hot =>
       def run(saltBuckets: Int): Double = {
         val t0 = System.nanoTime()
-        graft.pipeline.Extraction.pipeline(skewed(hot), saltBuckets = saltBuckets)
+        graft.pipeline.Extraction
+          .pipeline(Bench.skewedDocs(spark, sfDir, factor, hot),
+            saltBuckets = saltBuckets)
           .select(count(lit(1)), sum(size($"spans"))).head()
         (System.nanoTime() - t0) / 1e9
       }
       run(64); run(1) // warm both paths
-      val pat = Seq(64, 1, 64, 1, 1, 64, 1, 64) // both orders
-      val walls = pat.map(b => (b, run(b)))
+      val walls = Bench.SkewPattern.map(b => (b, run(b)))
       val s = walls.filter(_._1 == 64).map(_._2)
       val u = walls.filter(_._1 == 1).map(_._2)
       println(f"SKEWPROBE hot=$hot%3d salted_min=${s.min}%6.2f unsalt_min=${u.min}%6.2f " +
