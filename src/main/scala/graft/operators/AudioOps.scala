@@ -78,6 +78,8 @@ object AudioOps {
     var samples: Array[Short] = null
     while (samples == null && bb.remaining() >= 8) {
       val t = tag(); val len = bb.getInt()
+      // a negative length would walk the chunk cursor BACKWARD → loop
+      require(len >= 0, s"negative chunk length $len")
       t match {
         case "fmt " =>
           val start = bb.position()
@@ -94,6 +96,10 @@ object AudioOps {
           bb.position(start + len + (len & 1)) // RIFF chunks are word-aligned
         case "data" =>
           require(rate > 0, "data chunk before fmt")
+          // allocation sanity: the declared length must fit the buffer —
+          // a corrupt header must not request a multi-GB sample array
+          require(len >= 0 && len <= bb.remaining(),
+            s"data chunk length $len exceeds remaining ${bb.remaining()}")
           samples = Array.fill(len / 2)(bb.getShort())
         case _ => // skip unknown chunk incl. its odd-length pad byte
           bb.position(bb.position() + len + (len & 1))

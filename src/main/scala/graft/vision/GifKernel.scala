@@ -210,6 +210,10 @@ object GifKernel {
     }
     require((bytes(pos) & 0xff) == 0x2c, "image descriptor expected")
     val w = u16(pos + 5); val h = u16(pos + 7)
+    // allocation sanity: corrupt descriptors must not request multi-GB
+    // rasters (w*h can also overflow Int) — fail structured first
+    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+      s"implausible raster ${w}x$h")
     val localPacked = bytes(pos + 9) & 0xff
     pos += 10
     if ((localPacked & 0x80) != 0) pos += (2 << (localPacked & 0x07)) * 3

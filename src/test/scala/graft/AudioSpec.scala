@@ -75,6 +75,33 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: garbage and mutated WAVs terminate with structured errors") {
+    val rng = new scala.util.Random(59)
+    val valid = AudioOps.encodeWav(AudioOps.ruleSamples("aud://3", 2000))
+    for (trial <- 0 until 200) {
+      val bytes = trial % 3 match {
+        case 0 => Array.fill(rng.nextInt(120) + 1)(rng.nextInt(256).toByte)
+        case 1 =>
+          val b = valid.clone()
+          b(rng.nextInt(44)) = rng.nextInt(256).toByte // header-zone flip
+          b
+        case _ => java.util.Arrays.copyOf(valid, rng.nextInt(valid.length) + 1)
+      }
+      try AudioOps.decodeWav(bytes)
+      catch { case _: RuntimeException | _: java.nio.BufferUnderflowException => () }
+    }
+  }
+
+  test("oversized data-chunk length is rejected before allocation") {
+    val valid = AudioOps.encodeWav(AudioOps.ruleSamples("aud://8", 100))
+    // data length field sits at offset 40 in the canonical layout
+    val b = valid.clone()
+    b(40) = 0xff.toByte; b(41) = 0xff.toByte
+    b(42) = 0xff.toByte; b(43) = 0x7f.toByte // len = Int.MaxValue
+    val e = intercept[IllegalArgumentException] { AudioOps.decodeWav(b) }
+    assert(e.getMessage.contains("exceeds remaining"))
+  }
+
   test("processAudio windows and energies are exact") {
     val parts = AudioOps.processAudio("aud://15")
     val secs = AudioOps.durationSecs("aud://15")

@@ -51,6 +51,37 @@ class GifSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(dec.idx, img.idx))
   }
 
+  test("fuzz: garbage / mutated / truncated bitstreams terminate structurally") {
+    val rng = new scala.util.Random(41)
+    val valid = GifKernel.encodeGif(PixelOps.ruleGifIndexed("img://5/0", 32, 32))
+    for (trial <- 0 until 200) {
+      val bytes = trial % 3 match {
+        case 0 => Array.fill(rng.nextInt(100) + 1)(rng.nextInt(256).toByte)
+        case 1 =>
+          val b = valid.clone()
+          b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+          b
+        case _ => java.util.Arrays.copyOf(valid, rng.nextInt(valid.length) + 1)
+      }
+      // property: always terminates; failures are structured
+      // RuntimeExceptions, never a hang or a multi-GB allocation
+      try GifKernel.decodeGif(bytes)
+      catch { case _: RuntimeException => () }
+    }
+  }
+
+  test("implausible raster dims are rejected before allocation") {
+    val valid = GifKernel.encodeGif(PixelOps.ruleGifIndexed("img://6/0", 16, 16))
+    // image descriptor starts after header(13) + global table(768)
+    val desc = 13 + 768
+    assert((valid(desc) & 0xff) == 0x2c)
+    val b = valid.clone()
+    b(desc + 5) = 0xff.toByte; b(desc + 6) = 0xff.toByte // w = 65535
+    b(desc + 7) = 0xff.toByte; b(desc + 8) = 0xff.toByte // h = 65535
+    val e = intercept[IllegalArgumentException] { GifKernel.decodeGif(b) }
+    assert(e.getMessage.contains("implausible raster"))
+  }
+
   test("toRgb expands through the palette exactly") {
     val img = Indexed(2, 1, Array[Byte](0, 255.toByte), PixelOps.gifPalette)
     val rgb = GifKernel.toRgb(img)
