@@ -126,6 +126,40 @@ object SparkEntry {
       }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
     }),
 
+    // WARC front door (ISO 28500 — the framing web corpora arrive in):
+    // each partition's docs are packed into ONE real WARC blob
+    // (Content-Length framing, CRLF headers), parsed back record by
+    // record, and the recovered payloads run the SAME HTML extraction.
+    // Output must hash-equal ext_html, proving the payloads survive the
+    // framing byte-exactly; record count / URI / type invariants are
+    // asserted in-kernel. Exchange-free: blobs never cross partitions.
+    "ext_warc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.{Html, Warc}
+      t(s, dir, "documents").select($"doc_id").as[Long].mapPartitions { ids =>
+        val docs = ids.map(id => (id, Html.synthesize(id))).toArray
+        if (docs.isEmpty) Iterator.empty
+        else {
+          val blob = Warc.build(docs.toIndexedSeq.map { case (id, html) =>
+            Warc.Record("response", s"http://synth.test/$id",
+              html.getBytes("UTF-8"))
+          })
+          val recs = Warc.parse(blob)
+          require(recs.size == docs.length,
+            s"WARC framing lost records: ${recs.size} != ${docs.length}")
+          recs.iterator.flatMap { r =>
+            require(r.recordType == "response", s"bad type ${r.recordType}")
+            val id = r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong
+            Html.extract(new String(r.payload, "UTF-8")).zipWithIndex.map {
+              case (b, pos) =>
+                (id, b.kind, b.text, b.mediaRef, b.denMilli, b.level.toLong,
+                  pos.toLong)
+            }
+          }
+        }
+      }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
+    }),
+
     // The HTML tokenizer as a DISTRIBUTED pipeline: same salt + sketch-
     // routed range placement + single exchange as the span pipeline
     // (Extraction.pipelineWith), with Html.extract as the narrow kernel.
@@ -998,6 +1032,43 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Closed-form replay of the synthesized-HTML block stream — shared by
+    * ext_html (direct extraction) and ext_warc (extraction after WARC
+    * framing), which must emit identical rows.
+    */
+  private lazy val extHtmlOracleSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, i,
+       |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k,
+       |    ${md5iSql("'hl|' || doc_id || '|' || i")} % 3 + 1 AS lvl
+       |  FROM (SELECT doc_id,
+       |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
+       |        FROM documents)),
+       |b AS (
+       |  SELECT doc_id, i, 0 AS cell,
+       |    CASE WHEN k = 0 THEN 'heading' WHEN k IN (1, 2) THEN 'paragraph'
+       |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
+       |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
+       |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
+       |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end'
+       |         WHEN k = 5 THEN 'fig ' || i
+       |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
+       |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
+       |         ELSE '' END AS media_ref,
+       |    CASE WHEN k = 2 THEN
+       |      (1000 * length('L' || doc_id || '_' || i))
+       |        // length('see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end')
+       |      ELSE 0 END AS den,
+       |    CASE WHEN k = 0 THEN lvl ELSE 0 END AS lvl_out
+       |  FROM r WHERE k IN (0, 1, 2, 5, 6)
+       |  UNION ALL
+       |  SELECT doc_id, i, 1, 'table', 'c' || doc_id || '_' || i || '_1', '', 0, 0
+       |  FROM r WHERE k = 6)
+       |SELECT doc_id, kind, text, media_ref,
+       |  den::BIGINT AS den_milli, lvl_out::BIGINT AS lvl,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
+       |FROM b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ext_kind_counts" ->
       """SELECT 'heading' AS kind, count(*)::BIGINT AS cnt FROM documents
@@ -1066,38 +1137,12 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY doc_id ORDER BY col, y0, i) - 1)::BIGINT AS ord
          |FROM t""".stripMargin,
 
-    "ext_html" ->
-      s"""WITH r AS (
-         |  SELECT doc_id, i,
-         |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k,
-         |    ${md5iSql("'hl|' || doc_id || '|' || i")} % 3 + 1 AS lvl
-         |  FROM (SELECT doc_id,
-         |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
-         |        FROM documents)),
-         |b AS (
-         |  SELECT doc_id, i, 0 AS cell,
-         |    CASE WHEN k = 0 THEN 'heading' WHEN k IN (1, 2) THEN 'paragraph'
-         |         WHEN k = 5 THEN 'figure' ELSE 'table' END AS kind,
-         |    CASE WHEN k = 0 THEN 'h' || doc_id || '_' || i || ' A&B'
-         |         WHEN k = 1 THEN 'p' || doc_id || '_' || i || ' x!'
-         |         WHEN k = 2 THEN 'see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end'
-         |         WHEN k = 5 THEN 'fig ' || i
-         |         ELSE 'c' || doc_id || '_' || i || '_0' END AS text,
-         |    CASE WHEN k = 5 THEN 'images/' || doc_id || '_' || i || '.png'
-         |         ELSE '' END AS media_ref,
-         |    CASE WHEN k = 2 THEN
-         |      (1000 * length('L' || doc_id || '_' || i))
-         |        // length('see L' || doc_id || '_' || i || ' t' || i || ' of ordinary running prose end')
-         |      ELSE 0 END AS den,
-         |    CASE WHEN k = 0 THEN lvl ELSE 0 END AS lvl_out
-         |  FROM r WHERE k IN (0, 1, 2, 5, 6)
-         |  UNION ALL
-         |  SELECT doc_id, i, 1, 'table', 'c' || doc_id || '_' || i || '_1', '', 0, 0
-         |  FROM r WHERE k = 6)
-         |SELECT doc_id, kind, text, media_ref,
-         |  den::BIGINT AS den_milli, lvl_out::BIGINT AS lvl,
-         |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, cell) - 1)::BIGINT AS ord
-         |FROM b""".stripMargin,
+    "ext_html" -> extHtmlOracleSql,
+
+    // Same closed-form rule: ext_warc's output is the ext_html block
+    // stream — hash parity proves the HTML payloads survived the WARC
+    // framing byte-exactly (framing invariants asserted in-query).
+    "ext_warc" -> extHtmlOracleSql,
 
     "ext_html_pipeline" ->
       s"""WITH r AS (
