@@ -357,7 +357,11 @@ object SparkEntry {
       graft.streaming.StreamingExtract.streamDedupQuery(s, t(s, dir, "events"))),
 
     // Pivot (counts per event_type column, one row per hour): the §2.4
-    // wide-aggregation family over an explicit pivot value list.
+    // wide-aggregation family over an explicit pivot value list. Spark
+    // plans pivot as two aggregates (group-by-(win,type) → pivot-by-win),
+    // i.e. two exchanges — but BOTH carry map-side-collapsed partial
+    // counts (≤ windows×types rows per partition), never the event
+    // stream, so the shape holds at corpus scale.
     "ev_pivot" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
