@@ -1606,8 +1606,7 @@ object SparkEntry {
          |  SELECT doc_id, ${graft.operators.BpeOps.segSql("text")} AS s
          |  FROM documents),
          |toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(rtrim(s, '·'), '·'), t -> t <> ' ') AS ts
+         |  SELECT doc_id, ${graft.operators.BpeOps.toksSql("s")} AS ts
          |  FROM seg)
          |SELECT printf('d%010d', doc_id) AS doc_id,
          |  len(ts)::BIGINT AS n_tokens,

@@ -26,6 +26,13 @@ object Warc {
   def build(records: Seq[Record]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
+      // Header values are interpolated into the CRLF-framed block: a CR/LF
+      // inside one would inject a bogus header boundary and mis-frame every
+      // record after it, so reject structured instead.
+      Seq("WARC-Type" -> r.recordType, "WARC-Target-URI" -> r.uri).foreach {
+        case (n, v) => require(!v.exists(c => c == '\r' || c == '\n'),
+          s"$n value contains CR/LF")
+      }
       val header =
         s"WARC/1.0$Crlf" +
         s"WARC-Type: ${r.recordType}$Crlf" +

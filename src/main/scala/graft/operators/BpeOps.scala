@@ -244,16 +244,31 @@ object BpeOps {
   // Oracle SQL generation (fixture ranks as shared spec constants)
   // ------------------------------------------------------------------
 
-  /** DuckDB expression replaying the fixture encode over a text column:
-    * char-split with a '·' separator (every token followed by '·'; the
-    * space token blocks cross-word merges), then one `replace()` per
-    * merge in rank order — exactly [[applyMerge]]'s left-to-right
-    * non-overlapping semantics.
+  /** DuckDB expression replaying the fixture encode over a text column.
+    * Every token is WRAPPED as `·tok·` (adjacent tokens meet at `··`),
+    * then one `replace('·a··b·','·ab·')` per merge in rank order —
+    * exactly [[applyMerge]]'s left-to-right non-overlapping semantics.
+    *
+    * The wrap (vs the earlier suffix-only `tok·` marking) anchors BOTH
+    * ends of each operand: a pattern can no longer match where pair._1
+    * is merely the SUFFIX of a longer token (`xa·b·` contains `a·b·`).
+    * Each boundary carries TWO separators, one owned by each side, so
+    * consecutive merge sites (`·a··b··a··b·`) don't share a separator
+    * and the replace scan still takes both — byte-for-byte the
+    * [[applyMerge]] result. The space token still blocks cross-word
+    * merges (no learned pair contains a space).
     */
   def segSql(textExpr: String): String =
-    fixtureMerges.foldLeft(s"regexp_replace($textExpr, '(.)', '\\1·', 'g')") {
-      case (acc, (a, b)) => s"replace($acc, '${a}·${b}·', '${a}${b}·')"
+    fixtureMerges.foldLeft(s"regexp_replace($textExpr, '(.)', '·\\1·', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '·${a}··${b}·', '·${a}${b}·')"
     }
+
+  /** Token list from a [[segSql]] segmentation: strip the outer wrap,
+    * split on the two-separator boundary, drop space tokens (and the
+    * empty token an empty text degenerates to).
+    */
+  def toksSql(segExpr: String): String =
+    s"list_filter(string_split(trim($segExpr, '·'), '··'), t -> t <> ' ' AND t <> '')"
 
   /** CASE mapping token string → fixture vocab id (−1 = out-of-alphabet
     * fallback, mirroring encodeDocs).

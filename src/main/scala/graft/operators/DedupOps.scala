@@ -70,14 +70,21 @@ object DedupOps {
   private val cacheSlots =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
   private[graft] def persistSlot[T](key: String, ds: Dataset[T]): Dataset[T] = {
-    // Slots are keyed by (session id, operator): a fresh SparkSession never
-    // collides with a stopped one's slot, and concurrent sessions can't
+    // Slots are keyed by (sessionUUID, operator): collision-free across
+    // sessions (identityHashCode is not), so concurrent sessions can't
     // unpersist each other's live cache. Unpersist of the previous slot is
     // further guarded against a stopped context (unpersist on a Dataset
     // bound to a stopped SparkContext throws IllegalStateException).
+    // Slots of stopped sessions are evicted opportunistically on each put
+    // so the static map never pins dead session references for the
+    // process lifetime.
     val sessionKey =
-      System.identityHashCode(ds.sparkSession).toHexString + "|" + key
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .sessionUuid(ds.sparkSession) + "|" + key
     val prev = cacheSlots.put(sessionKey, ds)
+    cacheSlots.entrySet().removeIf { e =>
+      (e.getKey != sessionKey) && e.getValue.sparkSession.sparkContext.isStopped
+    }
     if (prev != null) {
       try {
         if (!prev.sparkSession.sparkContext.isStopped)

@@ -23,6 +23,7 @@ object GifKernel {
     */
   final case class Indexed(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte]) {
     require(palette.length == 768, s"palette must be 256 RGB entries")
+    require(w > 0 && h > 0, s"raster must be non-empty, got ${w}x$h")
     require(idx.length == w * h, s"index raster must be w*h")
   }
 

@@ -17,4 +17,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Collision-free session identity (`sessionUUID` is `private[sql]`);
+    * used to key per-session cache slots (DedupOps.persistSlot).
+    */
+  def sessionUuid(s: org.apache.spark.sql.SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => System.identityHashCode(other).toHexString
+  }
 }
