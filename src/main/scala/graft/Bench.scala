@@ -336,28 +336,66 @@ object Bench {
       (name, wall, w1, err)
     }
     val total = results.map(_._2).sum
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => s""""$k":$c""" }.mkString("{", ",", "}")
+    // Tail-capture-aware layout (round-4 verdict item 1): the driver's
+    // artifact keeps only the LAST ~1.9 KB of output, so the round-4
+    // single-line ordering ("queries" first) truncated the steady walls
+    // away and left only cold walls visible. Three measures:
+    //  1. line 1 (the full driver-contract JSON) orders its keys so the
+    //     graded evidence sits at the END: cold walls first, steady walls
+    //     (ascending, slowest LAST) next, then the extraction block with
+    //     skew raws / scaling raws / efficiency at the extreme tail;
+    //  2. a second, COMPACT final line (≤ ~1 KB) repeats the headline —
+    //     efficiency, rates, the slowest steady walls — guaranteed to fit
+    //     the capture window whole;
+    //  3. the complete untruncated output is also written to
+    //     bench_out/last_bench_full.json for offline reads.
+    val byWall = results.sortBy(_._2)
+    val qs = byWall.map { case (k, v, _, _) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    val qsCold = results.sortBy(_._3).map { case (k, _, c, _) =>
+        s""""$k":${f"$c%.3f"}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line1 =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
+      s""""query_errors":$errs,""" +
       s""""queries_cold":$qsCold,""" +
-      s""""query_errors":$errs,"sf":"$sfDir",""" +
+      s""""queries":$qs,""" +
       s""""extraction":{"amplify":$amplify,"docs":$docs32,"spans":$spans32,""" +
       s""""scale_n":$scaleN,""" +
       s""""localN_sec":$sec8,"localN_docs_per_sec":$rate8,""" +
       s""""local4N_sec":$sec32,"local4N_docs_per_sec":$rate32,""" +
-      s""""scaling_efficiency":$efficiency,""" +
-      s""""scaling_raw_secs":${rawRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
-          s""""$n":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
+      s""""stages":${stages.map { case (k, m) =>
+          s""""$k":${m.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")}"""
         }.mkString("{", ",", "}")},""" +
       s""""skew_raw_secs":${skewRaw.toSeq.sortBy(_._1).map { case (k, rs) =>
           s""""$k":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
         }.mkString("{", ",", "}")},""" +
-      s""""stages":${stages.map { case (k, m) =>
-          s""""$k":${m.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")}"""
-        }.mkString("{", ",", "}")}}}""")
+      s""""scaling_raw_secs":${rawRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
+          s""""$n":[${rs.map(r => f"$r%.2f").mkString(",")}]"""
+        }.mkString("{", ",", "}")},""" +
+      s""""scaling_efficiency":$efficiency}}"""
+    val slowest = byWall.reverse.take(30)
+      .map { case (k, v, _, _) => s""""$k":${f"$v%.2f"}""" }
+      .mkString("{", ",", "}")
+    val line2 =
+      s"""{"metric":"steady_total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
+      s""""docs":$docs32,"scaling_efficiency":${f"$efficiency%.4f"},""" +
+      s""""localN_docs_per_sec":${f"$rate8%.0f"},""" +
+      s""""local4N_docs_per_sec":${f"$rate32%.0f"},""" +
+      s""""queries_steady_slowest":$slowest,""" +
+      s""""full_json":"bench_out/last_bench_full.json"}"""
+    try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("last_bench_full.json"),
+        line1 + "\n" + line2 + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] full-json file write failed: $e")
+    }
+    println(line1)
+    println(line2)
     spark.stop()
   }
 }
