@@ -204,10 +204,29 @@ object Extraction {
       (d: (String, String)) => htmlSpans(d._2),
       shufflePartitions, saltBuckets)
 
+  /** Pipeline stage names for [[pipelineWith]]'s partial-execution gate,
+    * in execution order. The reference debugs its decoder by running layer
+    * sub-ranges via `DEEPSEEK_OCR_LAYER_SLICE` (ref
+    * crates/core/src/model/decoder.rs:104-117); the Spark analog truncates
+    * the extraction pipeline after a named stage:
+    *  - `scan`: derivation only — ids pass through, kernel never runs, no
+    *    exchange (isolates scan+derive cost / input health);
+    *  - `kernel`: narrow kernel applied, NO exchange (isolates kernel cost
+    *    from shuffle cost — the per-layer timing analog);
+    *  - `route`: kernel + the one sketch-routed exchange, markdown NOT
+    *    rendered (isolates shuffle placement);
+    *  - `all` (default): the full pipeline.
+    * Controlled by the session conf `spark.graft.stages` so a debugging
+    * run truncates WITHOUT code changes, exactly like the reference's
+    * env-var slice.
+    */
+  val Stages: Seq[String] = Seq("scan", "kernel", "route", "all")
+  val StagesConf = "spark.graft.stages"
+
   /** Generic pipeline body: any document type, any narrow span kernel.
     * The plan shape is IDENTICAL for every instantiation — kernel first
     * (narrow), one sketch-routed exchange, markdown rendered post-shuffle
-    * (PlanShapeSpec pins it).
+    * (PlanShapeSpec pins it). Honors [[StagesConf]] (partial execution).
     */
   def pipelineWith[T](docs: Dataset[T], idOf: T => String,
                       kernel: T => IndexedSeq[ExtractedSpan],
@@ -215,16 +234,23 @@ object Extraction {
                       saltBuckets: Int = 64): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val stage = spark.conf.get(StagesConf, "all")
+    require(Stages.contains(stage),
+      s"$StagesConf must be one of ${Stages.mkString("/")}, got '$stage'")
     val n = if (shufflePartitions > 0) shufflePartitions
             else spark.sessionState.conf.numShufflePartitions
     implicit val outEnc = org.apache.spark.sql.Encoders.product[ExtractedDoc]
+    if (stage == "scan")
+      return docs.mapPartitions(_.map(d => ExtractedDoc(idOf(d), Seq.empty, "")))
+    if (stage == "kernel")
+      return docs.mapPartitions(_.map(d => ExtractedDoc(idOf(d), kernel(d), "")))
     // narrow key-only sketch pass: derivation runs, kernel does NOT;
     // driver collect bounded by SampleBudget regardless of split count
     val keys = sampleKeysWith(docs, idOf, saltBuckets)
     val bounds = RangeRouter.boundaries(keys, n)
     val tokens = RangeRouter.hashTokens(n)
     val bBounds = spark.sparkContext.broadcast(bounds)
-    docs
+    val routed = docs
       .mapPartitions(_.map { d =>
         val id = idOf(d)
         val k = RangeRouter.key(id, saltBuckets)
@@ -234,11 +260,12 @@ object Extraction {
       .repartition(n, $"route")
       .drop("route")
       .as[(String, Seq[ExtractedSpan])]
-      // markdown rendered post-shuffle: pure function of spans, and twice
-      // the wire bytes if shuffled
-      .mapPartitions(_.map { case (id, spans) =>
-        ExtractedDoc(id, spans, Kernel.renderMarkdown(spans))
-      })
+    // markdown rendered post-shuffle: pure function of spans, and twice
+    // the wire bytes if shuffled
+    routed.mapPartitions(_.map { case (id, spans) =>
+      ExtractedDoc(id, spans,
+        if (stage == "route") "" else Kernel.renderMarkdown(spans))
+    })
   }
 
   /** Extraction + bucket/stats columns for [[TableIO.writeResumable]].

@@ -67,4 +67,46 @@ class PipelineSpec extends AnyFunSuite {
     val in = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(extracted.count() == in)
   }
+
+  // Partial execution (SURVEY §4 O9 — the reference's
+  // DEEPSEEK_OCR_LAYER_SLICE analog, ref decoder.rs:104-117): the
+  // spark.graft.stages conf truncates the pipeline after a named stage,
+  // and the PLAN reflects it (scan/kernel = no exchange; route/all = the
+  // one sketch-routed exchange; markdown only rendered by `all`).
+  test("spark.graft.stages truncates the pipeline with the matching plan shape") {
+    import spark.implicits._
+    def withStage[A](s: String)(f: => A): A = {
+      spark.conf.set(Extraction.StagesConf, s)
+      try f finally spark.conf.unset(Extraction.StagesConf)
+    }
+    val docs = CorpusDerive.derive(spark, sf)
+    def plan(s: String) = withStage(s) {
+      Extraction.pipeline(docs).queryExecution.executedPlan.toString
+    }
+    assert(!plan("scan").contains("Exchange"))
+    assert(!plan("kernel").contains("Exchange"))
+    assert(plan("route").contains("Exchange"))
+
+    val scan = withStage("scan")(Extraction.pipeline(docs)
+      .filter(size($"spans") > 0 || length($"markdown") > 0).count())
+    assert(scan == 0, "scan stage must not run the kernel")
+    val kernel = withStage("kernel") {
+      val e = Extraction.pipeline(docs)
+      (e.filter(size($"spans") > 0).count(), e.filter(length($"markdown") > 0).count())
+    }
+    assert(kernel._1 > 0 && kernel._2 == 0,
+      "kernel stage extracts spans but must not render markdown")
+    val route = withStage("route")(Extraction.pipeline(docs)
+      .filter(length($"markdown") > 0).count())
+    assert(route == 0, "route stage must not render markdown")
+    // `all` under the conf round-trips to the default pipeline exactly
+    val full = extracted.select($"doc_id", $"markdown").as[(String, String)]
+      .collect().toMap
+    val conf = withStage("all")(Extraction.pipeline(docs)
+      .select($"doc_id", $"markdown").as[(String, String)].collect().toMap)
+    assert(conf == full)
+    intercept[IllegalArgumentException] {
+      withStage("bogus")(Extraction.pipeline(docs))
+    }
+  }
 }
