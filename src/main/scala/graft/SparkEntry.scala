@@ -36,6 +36,14 @@ object SparkEntry {
     extractedSpans(spark, "/root/testdata/sf0.001")
       .groupBy("kind").agg(count(lit(1)).as("cnt"))
 
+  /** tio_prune_hash probe set (spec constant shared with the oracle):
+    * three existing ids — present at every SF (ids are 0-based and every
+    * SF ships ≥ 500 docs) — plus one id that was never written, which
+    * only a Bloom false positive can cost a bucket read.
+    */
+  val PruneHashProbeIds: Seq[String] =
+    Seq(0L, 7L, 42L).map(i => f"d$i%010d") :+ "d9999999998"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction pipeline (north rule core) ----
@@ -512,12 +520,12 @@ object SparkEntry {
     // Real BPE, corpus-learned ranks: merge table learned from the
     // corpus's own bounded top-V word-frequency table (driver collect
     // bounded by V — dictionary-scale), broadcast, applied identically.
-    // The oracle hash-gates per-doc lossless decode∘encode identity
-    // (md5 of the decoded text vs the source); the exact learned merge
-    // table is pinned by BpeSpec.
+    // The oracle RE-LEARNS the merges from the documents table in SQL
+    // (32 unrolled iterations — BpeOps.learnOracleSql) and hash-gates
+    // the exact order-sensitive id fingerprints AND per-doc lossless
+    // decode∘encode identity; the learned table is also pinned by BpeSpec.
     "tok_bpe_learn" -> ((s, dir) =>
-      graft.operators.BpeOps.learnAndEncode(s, t(s, dir, "documents"))
-        .drop("n_tokens")),
+      graft.operators.BpeOps.learnAndEncode(s, t(s, dir, "documents"))),
     "ta_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
     "ta_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "ta_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
@@ -720,6 +728,31 @@ object SparkEntry {
       val (pruned, read, total) = graft.pipeline.TableIO.readCommittedPruned(
         s, out, f"d$lo%010d", f"d$hi%010d")
       require(read < total, s"pruning must skip buckets ($read/$total read)")
+      pruned.agg(count(lit(1)).as("n_docs"),
+          sum($"span_count").cast("long").as("n_spans"))
+        .withColumn("buckets_read", lit(read.toLong))
+        .withColumn("buckets_total", lit(total.toLong))
+    }),
+
+    // Bloom-pruned point reads on the HASH layout (round-4 verdict item
+    // 10): min/max bounds can't prune hash buckets (every id range
+    // spreads across all of them), so each bucket manifest carries a
+    // 64×63-bit doc_id Bloom; a bounded id-set probe reads only the
+    // buckets whose Bloom maybe-contains a queried id. False positives
+    // are deterministic — the oracle replays the words bit-for-bit and
+    // predicts buckets_read EXACTLY, FPs included.
+    "tio_prune_hash" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tio-prune-hash").toString
+      val rows = graft.pipeline.Extraction.extractRows(
+        graft.corpus.CorpusDerive.derive(s, dir), buckets = 16)
+      graft.pipeline.TableIO.writeResumable(rows, out)
+      val ids = PruneHashProbeIds
+      val (pruned, read, total) = graft.pipeline.TableIO
+        .readCommittedPrunedByIds(s, out, ids)
+      require(read < total,
+        s"bloom pruning must skip buckets ($read/$total read)")
       pruned.agg(count(lit(1)).as("n_docs"),
           sum($"span_count").cast("long").as("n_spans"))
         .withColumn("buckets_read", lit(read.toLong))
@@ -1617,11 +1650,7 @@ object SparkEntry {
          |  1::BIGINT AS exact
          |FROM toks""".stripMargin,
 
-    "tok_bpe_learn" ->
-      """SELECT printf('d%010d', doc_id) AS doc_id,
-        |  len(string_split(text,' '))::BIGINT AS n_words,
-        |  1::BIGINT AS exact, md5(text) AS digest
-        |FROM documents""".stripMargin,
+    "tok_bpe_learn" -> graft.operators.BpeOps.learnOracleSql,
 
     "ta_quality" ->
       s"""WITH c AS (
@@ -2696,6 +2725,46 @@ object SparkEntry {
          |  (SELECT CAST(sum(n_spans) AS BIGINT) FROM w, rng WHERE w.doc_id BETWEEN lo AND hi) AS n_spans,
          |  buckets_read, buckets_total
          |FROM rd""".stripMargin,
+
+    // Bloom-pruned point-read replay on the hash layout: rebuild every
+    // bucket's 64×63-bit doc_id Bloom from the raw documents, probe the
+    // spec id set, and predict buckets_read EXACTLY (false positives
+    // included) plus the exact row totals of the matched ids.
+    "tio_prune_hash" -> {
+      val qidList = PruneHashProbeIds.map(id => s"'$id'").mkString(",")
+      s"""WITH w AS (
+         |  SELECT printf('d%010d', doc_id) AS did,
+         |    ${graft.functions.Hashing.md5iSql("printf('d%010d', doc_id)")} % 16 AS bucket,
+         |    (1 + CAST(ceil(greatest(len(string_split(text,' '))-3,0)/12.0) AS BIGINT)
+         |     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_spans
+         |  FROM documents),
+         |words AS (
+         |  SELECT bucket, p // 63 AS wd, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+         |  FROM (SELECT bucket,
+         |          ${graft.functions.Hashing.md5iSql("'bf' || t.i || '|' || did")} % 4032 AS p
+         |        FROM w, (SELECT unnest([0,1,2]) AS i) t)
+         |  GROUP BY 1, 2),
+         |q AS (SELECT unnest([$qidList]) AS qid),
+         |qp AS (SELECT qid,
+         |         ${graft.functions.Hashing.md5iSql("'bf' || t.i || '|' || qid")} % 4032 AS p
+         |       FROM q, (SELECT unnest([0,1,2]) AS i) t),
+         |buckets AS (SELECT DISTINCT bucket FROM w),
+         |hit AS (
+         |  SELECT b.bucket, q.qid,
+         |    sum(CASE WHEN ((coalesce(wd.bits, 0) >> CAST(q.p % 63 AS INT)) & 1) = 1
+         |        THEN 1 ELSE 0 END) AS nb
+         |  FROM buckets b CROSS JOIN qp q
+         |  LEFT JOIN words wd ON wd.bucket = b.bucket AND wd.wd = q.p // 63
+         |  GROUP BY 1, 2),
+         |readb AS (SELECT DISTINCT bucket FROM hit WHERE nb = 3)
+         |SELECT
+         |  (SELECT count(*) FROM w WHERE did IN (SELECT qid FROM q))::BIGINT AS n_docs,
+         |  (SELECT CAST(sum(n_spans) AS BIGINT) FROM w WHERE did IN (SELECT qid FROM q)) AS n_spans,
+         |  (SELECT count(*) FROM readb)::BIGINT AS buckets_read,
+         |  (SELECT count(*) FROM buckets)::BIGINT AS buckets_total""".stripMargin
+    },
 
     // Merged-view replay: upserted keys (doc_id % 3 = 0) count exactly 1
     // span; everything else keeps the tio_roundtrip closed form.

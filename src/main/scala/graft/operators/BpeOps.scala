@@ -201,8 +201,11 @@ object BpeOps {
   val LearnNumMerges = 32
 
   /** Corpus-learned BPE: learn ranks from the corpus's own bounded
-    * word-count table, broadcast, encode every doc, and emit the
-    * lossless-roundtrip digest the oracle recomputes from source text.
+    * word-count table, broadcast, encode every doc, and emit the exact
+    * order-sensitive id fingerprint plus the lossless-roundtrip digest.
+    * The oracle re-learns the SAME merges independently in SQL
+    * ([[learnOracleSql]]) and replays both, so the gate covers the
+    * learning loop AND the id sequences, not just losslessness.
     */
   def learnAndEncode(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -215,29 +218,35 @@ object BpeOps {
     docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
       val ms = bMerges.value
       val vv = bVocab.value
-      val memo = scala.collection.mutable.HashMap.empty[String, (Int, String)]
+      val memo = scala.collection.mutable.HashMap.empty[String, (Array[Int], String)]
       it.map { case (id, text) =>
         val ws = text.split(" ")
         var n = 0L
+        var fp = 0L
         val decodedWords = new Array[String](ws.length)
         var i = 0
         while (i < ws.length) {
-          val (nt, dec) = memo.getOrElseUpdate(ws(i), {
+          val (ids, dec) = memo.getOrElseUpdate(ws(i), {
             val toks = encodeWord(ws(i), ms)
             // every token must be in-vocab or a single (fallback) char —
             // the invariant that makes decode lossless
             require(toks.forall(t => vv.contains(t) || t.length == 1))
-            (toks.length, toks.mkString)
+            (toks.map(t => vv.getOrElse(t, -1)).toArray, toks.mkString)
           })
-          n += nt
+          var j = 0
+          while (j < ids.length) {
+            fp = (fp * 31 + (ids(j).toLong + Hashing.FpMod)) % Hashing.FpMod
+            j += 1
+          }
+          n += ids.length
           decodedWords(i) = dec
           i += 1
         }
         val decoded = decodedWords.mkString(" ")
-        (f"d$id%010d", ws.length.toLong, n,
+        (f"d$id%010d", ws.length.toLong, n, fp,
           if (decoded == text) 1L else 0L, Hashing.md5hex(decoded))
       }
-    }.toDF("doc_id", "n_words", "n_tokens", "exact", "digest")
+    }.toDF("doc_id", "n_words", "n_tokens", "fp", "exact", "digest")
   }
 
   // ------------------------------------------------------------------
@@ -277,4 +286,100 @@ object BpeOps {
     fixtureVocab.toSeq.sortBy(_._2)
       .map { case (t, i) => s"WHEN '$t' THEN $i" }
       .mkString(s"CASE $tokExpr ", " ", " ELSE -1 END")
+
+  // ------------------------------------------------------------------
+  // Oracle SQL generation, corpus-learned ranks: the oracle RE-LEARNS
+  // the merge table from the documents table itself — the 32-iteration
+  // learning loop UNROLLED as machine-generated materialized CTEs (pair
+  // count → argmax with the exact (count desc, a, b) tie-break → anchored
+  // replace), then replays encoding and vocab numbering exactly like the
+  // fixture oracle. Nothing is smuggled from the Scala side: a bug in
+  // learnMerges, vocab assignment, or the encode loop hash-fails.
+  // ------------------------------------------------------------------
+
+  /** DuckDB replay of [[learnAndEncode]] over the `documents` table.
+    *
+    * Mechanics mirrored exactly:
+    *  - `wc`: top-[[LearnVocabCap]] words by (count DESC, word) — same
+    *    bounded table [[corpusWordCounts]] collects;
+    *  - `seg{k}` / `p{k}` / `m{k}`: iteration k's segmentation state,
+    *    weighted adjacent-pair counts, and winning pair (absent when the
+    *    best count < 2 — and because a stall never changes the state,
+    *    every later m{j} is then empty too, matching the permanent
+    *    early-stop in [[learnMerges]]); replacements use the wrapped
+    *    `·tok·` anchoring of [[segSql]];
+    *  - `vocab`: alphabet chars of the wc words (sorted, 0-based) then
+    *    merge products at alphabet_size + rank; duplicate merge-product
+    *    strings keep the max id ([[vocab]]'s toMap last-wins);
+    *  - per doc: the same replace chain over the whole wrapped text
+    *    (space tokens block cross-word merges), tokens mapped through a
+    *    MAP of the learned vocab (−1 fallback), folded into the
+    *    order-sensitive polynomial fingerprint of [[Hashing.FpMod]].
+    *
+    * CTEs are MATERIALIZED: each seg{k} is referenced twice (p{k+1} and
+    * seg{k+1}), so inlining would double the plan per iteration — 2^32
+    * scans by the end.
+    */
+  def learnOracleSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""wc AS MATERIALIZED (
+      |  SELECT w, c FROM (
+      |    SELECT w, count(*) AS c
+      |    FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      |    GROUP BY w)
+      |  ORDER BY c DESC, w LIMIT $LearnVocabCap)""".stripMargin
+    ctes += "seg0 AS MATERIALIZED (SELECT c, " +
+      "regexp_replace(w, '(.)', '·\\1·', 'g') AS s FROM wc)"
+    (1 to LearnNumMerges).foreach { k =>
+      ctes += s"""p$k AS MATERIALIZED (
+        |  SELECT split_part(pr, chr(1), 1) AS a, split_part(pr, chr(1), 2) AS b,
+        |         CAST(sum(c) AS BIGINT) AS n
+        |  FROM (SELECT c, unnest(list_transform(range(1, len(ts)),
+        |          i -> ts[i] || chr(1) || ts[i+1])) AS pr
+        |        FROM (SELECT c, string_split(trim(s,'·'),'··') AS ts FROM seg${k - 1}))
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$k AS MATERIALIZED (SELECT a, b FROM p$k " +
+        "WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1)"
+      ctes += s"""seg$k AS MATERIALIZED (
+        |  SELECT c, replace(s,
+        |    coalesce((SELECT '·'||a||'··'||b||'·' FROM m$k), chr(2)),
+        |    coalesce((SELECT '·'||a||b||'·' FROM m$k), chr(2))) AS s
+        |  FROM seg${k - 1})""".stripMargin
+    }
+    ctes += (1 to LearnNumMerges)
+      .map(k => s"SELECT $k AS r, a, b FROM m$k")
+      .mkString("merges AS MATERIALIZED (", "\nUNION ALL ", ")")
+    ctes += "alpha AS MATERIALIZED (" +
+      "SELECT DISTINCT unnest(string_split(w, '')) AS ch FROM wc)"
+    ctes += """vocab AS MATERIALIZED (
+      |  SELECT tok, CAST(max(id) AS BIGINT) AS id FROM (
+      |    SELECT ch AS tok, row_number() OVER (ORDER BY ch) - 1 AS id FROM alpha
+      |    UNION ALL
+      |    SELECT a||b, (SELECT count(*) FROM alpha) + r - 1 FROM merges)
+      |  GROUP BY tok)""".stripMargin
+    ctes += "vm AS MATERIALIZED (SELECT map(list(tok), list(id)) AS m FROM vocab)"
+    val chain = (1 to LearnNumMerges)
+      .foldLeft("regexp_replace(text, '(.)', '·\\1·', 'g')") { (acc, k) =>
+        s"""replace($acc,
+          |    coalesce((SELECT '·'||a||'··'||b||'·' FROM m$k), chr(2)),
+          |    coalesce((SELECT '·'||a||b||'·' FROM m$k), chr(2)))""".stripMargin
+      }
+    ctes += s"""dseg AS MATERIALIZED (
+      |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_words,
+      |    md5(text) AS digest,
+      |    $chain AS s
+      |  FROM documents)""".stripMargin
+    ctes += s"""dtok AS MATERIALIZED (
+      |  SELECT doc_id, n_words, digest, ${toksSql("s")} AS ts
+      |  FROM dseg)""".stripMargin
+    "WITH " + ctes.mkString(",\n") + s"""
+      |SELECT printf('d%010d', doc_id) AS doc_id, n_words,
+      |  len(ts)::BIGINT AS n_tokens,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(ts, t -> CAST(coalesce(m[t][1], -1) AS BIGINT))),
+      |    (a, x) -> (a * 31 + (x + ${Hashing.FpMod})) % ${Hashing.FpMod}) AS fp,
+      |  1::BIGINT AS exact, digest
+      |FROM dtok, vm""".stripMargin
+  }
 }

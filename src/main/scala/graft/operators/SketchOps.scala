@@ -21,8 +21,25 @@ object SketchOps {
   val BloomBits: Int = BloomWords * BitsPerWord
   val BloomHashes = 3
 
-  private def bloomPos(i: Int, key: org.apache.spark.sql.Column) =
+  /** Probe position of hash function `i` for `key` — shared by the
+    * semi-join filter and the TableIO manifest blooms (same wire format,
+    * same DuckDB replay).
+    */
+  private[graft] def bloomPos(i: Int, key: org.apache.spark.sql.Column) =
     Hashing.md5iCol(concat(lit(s"bf$i|"), key.cast("string"))) % BloomBits
+
+  /** Driver-side [[bloomPos]] (must stay bit-identical to the column
+    * form): probe position of hash `i` for `key`.
+    */
+  private[graft] def bloomPosLocal(i: Int, key: String): Int =
+    (Hashing.md5i(s"bf$i|$key") % BloomBits).toInt
+
+  /** Membership probe against a [[BloomWords]]-long word vector. */
+  private[graft] def bloomMaybeContains(words: IndexedSeq[Long], key: String): Boolean =
+    (0 until BloomHashes).forall { i =>
+      val p = bloomPosLocal(i, key)
+      ((words(p / BitsPerWord) >> (p % BitsPerWord)) & 1L) == 1L
+    }
 
   /** (word, bits) rows of the Bloom filter over `keys` (one column).
     * Build is a single bit_or aggregation over ≤ BloomWords groups —

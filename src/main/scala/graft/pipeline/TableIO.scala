@@ -49,7 +49,8 @@ object TableIO {
 
   final case class BucketManifest(bucket: Int, doc_count: Long,
       span_count: Long, bytes: Long, wall_ms: Long, span_checksum: Long,
-      files: Seq[String], min_doc: String = "", max_doc: String = "")
+      files: Seq[String], min_doc: String = "", max_doc: String = "",
+      bloom: Seq[Long] = Seq.empty)
 
   val SchemaVersion = 1
 
@@ -97,6 +98,8 @@ object TableIO {
     s""""bucket":${m.bucket},"doc_count":${m.doc_count},"span_count":${m.span_count},""" +
     s""""bytes":${m.bytes},"wall_ms":${m.wall_ms},"span_checksum":${m.span_checksum},""" +
     s""""min_doc":"${m.min_doc}","max_doc":"${m.max_doc}",""" +
+    (if (m.bloom.isEmpty) ""
+     else m.bloom.mkString("\"bloom\":[", ",", "],")) +
     m.files.map(f => s""""$f"""").mkString("\"files\":[", ",", "]}")
 
   /** Parsed committed manifest: (bucket, snapshot, schema_version,
@@ -104,13 +107,15 @@ object TableIO {
     */
   final case class CommittedManifest(bucket: Int, snapshot: Long,
       schemaVersion: Int, files: Seq[String],
-      minDoc: String = "", maxDoc: String = "")
+      minDoc: String = "", maxDoc: String = "",
+      bloom: IndexedSeq[Long] = IndexedSeq.empty)
 
   private val SnapRe = "\"snapshot\":(\\d+)".r
   private val VerRe = "\"schema_version\":(\\d+)".r
   private val FilesRe = "\"files\":\\[([^\\]]*)\\]".r
   private val MinDocRe = "\"min_doc\":\"([^\"]*)\"".r
   private val MaxDocRe = "\"max_doc\":\"([^\"]*)\"".r
+  private val BloomRe = "\"bloom\":\\[([^\\]]*)\\]".r
 
   def committedManifests(outDir: String): Seq[CommittedManifest] =
     listNames(manifestDir(outDir), "bucket-", ".json").sorted.map { name =>
@@ -121,9 +126,12 @@ object TableIO {
       val files = FilesRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
         .split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
+      val bloom = BloomRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        .split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
       CommittedManifest(bucket, snap, ver, files,
         MinDocRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""),
-        MaxDocRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""))
+        MaxDocRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(""),
+        bloom)
     }
 
   /** Data files of one just-written bucket, as outDir/data-relative paths. */
@@ -168,12 +176,37 @@ object TableIO {
         // lets readCommittedPruned skip whole buckets by predicate
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
       .as[(Int, Long, Long, Long, Long, String, String)].collect()
+    // Pass 3 — per-bucket doc_id Bloom words (the Iceberg puffin-blob
+    // analog): lets readCommittedPrunedByIds skip buckets on POINT/id-set
+    // predicates even under the hash layout, where min/max bounds can't
+    // prune (every id range spreads across all buckets). A second
+    // column-pruned scan of (bucket, doc_id) only; the aggregation ships
+    // ≤ BloomWords longs per bucket. Same 64×63-bit non-negative word
+    // format and hash family as the bloom_semijoin filter, so the DuckDB
+    // oracle replays membership bit-for-bit.
+    import graft.operators.SketchOps
+    val blooms: Map[Int, IndexedSeq[Long]] = spark.read
+      .parquet(s"$outDir/data")
+      .filter(if (done.isEmpty) lit(true) else !$"bucket".isin(done.toSeq: _*))
+      .select($"bucket".cast("int").as("bucket"),
+        explode(array((0 until SketchOps.BloomHashes).map(i =>
+          SketchOps.bloomPos(i, $"doc_id")): _*)).as("p"))
+      .groupBy($"bucket", expr(s"p div ${SketchOps.BitsPerWord}").as("w"))
+      .agg(expr(s"bit_or(shiftleft(1L, int(p % ${SketchOps.BitsPerWord})))").as("bits"))
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (b, ws) =>
+        val words = Array.fill(SketchOps.BloomWords)(0L)
+        ws.foreach { case (_, w, bits) => words(w.toInt) = bits }
+        b -> words.toIndexedSeq
+      }
     val wallMs = (System.nanoTime() - t0) / 1000000
     val snapshot = currentSnapshot(outDir) + 1
     stats.foreach { case (b, dc, sc, by, ck, lo, hi) =>
       writeAtomic(manifestPath(outDir, b),
         manifestJson(BucketManifest(b, dc, sc, by, wallMs, ck,
-          bucketFiles(outDir, b), lo, hi), snapshot))
+          bucketFiles(outDir, b), lo, hi,
+          blooms.getOrElse(b, IndexedSeq.empty)), snapshot))
     }
     writeAtomic(Paths.get(outDir, "_SUCCESS.json"),
       s"""{"schema_version":$SchemaVersion,"snapshot":$snapshot,""" +
@@ -726,6 +759,41 @@ object TableIO {
       else spark.read.option("basePath", s"$outDir/data")
         .parquet(files: _*)
         .filter($"doc_id" >= loDoc && $"doc_id" <= hiDoc)
+        .select($"doc_id", $"spans", $"markdown",
+                $"bucket".cast("int").as("bucket"),
+                $"span_count", $"bytes", $"checksum")
+        .as[ExtractedRow]
+    (rows, live.size, manifests.size)
+  }
+
+  /** Manifest-Bloom scan pruning for POINT / bounded-id-set predicates —
+    * the skipping index the HASH layout gets (range bounds can't prune it;
+    * see [[Extraction.rangeBucketOf]] for the trade). A bucket is read iff
+    * its manifest Bloom maybe-contains at least one queried id; false
+    * positives cost an extra bucket read, never a missed row, and are
+    * deterministic (the oracle replays them). Manifests without Bloom
+    * words (pre-upgrade) are conservatively always read. The Bloom is
+    * constant-size per bucket ([[graft.operators.SketchOps.BloomWords]]
+    * longs — a TEST-scale parameter; a production table sizes bits to the
+    * bucket's expected key count, exactly like Iceberg sizes puffin
+    * blobs by ndv). Returns (exact-filtered rows, buckets read, total).
+    */
+  def readCommittedPrunedByIds(spark: SparkSession, outDir: String,
+                               ids: Seq[String]):
+      (Dataset[ExtractedRow], Int, Int) = {
+    import spark.implicits._
+    import graft.operators.SketchOps
+    val manifests = committedManifests(outDir)
+    val live = manifests.filter { m =>
+      m.bloom.isEmpty ||
+        ids.exists(id => SketchOps.bloomMaybeContains(m.bloom, id))
+    }
+    val files = live.flatMap(_.files).map(f => s"$outDir/data/$f")
+    val rows =
+      if (files.isEmpty) emptyRows(spark)
+      else spark.read.option("basePath", s"$outDir/data")
+        .parquet(files: _*)
+        .filter($"doc_id".isin(ids: _*))
         .select($"doc_id", $"spans", $"markdown",
                 $"bucket".cast("int").as("bucket"),
                 $"span_count", $"bytes", $"checksum")

@@ -80,9 +80,10 @@ class BpeSpec extends AnyFunSuite {
     val wc = BpeOps.corpusWordCounts(docs, BpeOps.LearnVocabCap)
     assert(wc.length <= BpeOps.LearnVocabCap)
     val out = BpeOps.learnAndEncode(spark, docs)
-      .as[(String, Long, Long, Long, String)].collect()
+      .as[(String, Long, Long, Long, Long, String)].collect()
     assert(out.nonEmpty)
-    assert(out.forall(_._4 == 1L), "decode∘encode must be identity on every doc")
+    assert(out.forall(_._5 == 1L), "decode∘encode must be identity on every doc")
+    assert(out.forall(_._4 >= 0L), "fp is a non-negative FpMod residue")
     val (words, toks) = (out.map(_._2).sum, out.map(_._3).sum)
     val chars = docs.select(org.apache.spark.sql.functions
       .sum(org.apache.spark.sql.functions.length(

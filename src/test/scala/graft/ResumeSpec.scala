@@ -291,4 +291,35 @@ class ResumeSpec extends AnyFunSuite {
     val mDocs = manifests.agg(org.apache.spark.sql.functions.sum("doc_count")).as[Long].head()
     assert(mDocs == totalDocs)
   }
+
+  test("manifest blooms: point reads skip buckets, never rows; legacy manifests read conservatively") {
+    val out = tmpDir()
+    TableIO.writeResumable(rows, out)
+    // every manifest carries the full word vector
+    TableIO.committedManifests(out).foreach(m =>
+      assert(m.bloom.length == graft.operators.SketchOps.BloomWords))
+    // existing ids: exact rows back, strictly fewer buckets than total
+    val ids = Seq("d0000000000", "d0000000007", "d0000000042")
+    val (got, read, total) = TableIO.readCommittedPrunedByIds(spark, out, ids)
+    assert(got.collect().map(_.doc_id).sorted.toSeq == ids)
+    assert(read < total && total == Buckets)
+    // the never-written id: only an (unlikely) false positive costs reads
+    val (none, readMiss, _) =
+      TableIO.readCommittedPrunedByIds(spark, out, Seq("d9999999998"))
+    assert(none.count() == 0 && readMiss <= 1)
+    // a bucket's own id must hit its bucket (no false negatives ever)
+    val m0 = TableIO.committedManifests(out).head
+    val anyDoc = TableIO.readCommitted(spark, out)
+      .filter(org.apache.spark.sql.functions.col("bucket") === m0.bucket)
+      .head().doc_id
+    assert(graft.operators.SketchOps.bloomMaybeContains(m0.bloom, anyDoc))
+    // legacy manifest (bloom field stripped) is conservatively always read
+    val mPath = java.nio.file.Paths.get(out, "manifests", s"bucket-${m0.bucket}.json")
+    val stripped = Files.readString(mPath)
+      .replaceAll("\"bloom\":\\[[^\\]]*\\],", "")
+    Files.writeString(mPath, stripped)
+    val (_, readLegacy, totalLegacy) =
+      TableIO.readCommittedPrunedByIds(spark, out, Seq("d9999999998"))
+    assert(readLegacy >= 1 && totalLegacy == Buckets)
+  }
 }
