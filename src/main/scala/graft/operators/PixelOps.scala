@@ -339,4 +339,106 @@ object PixelOps {
         % SubsetMod === 0L)
     refs.as[String].mapPartitions(_.flatMap(processRef)).toDF()
   }
+
+  // ------------------------------------------- PNG profile space
+
+  /** Profile-gate raster: 19×13 — deliberately NOT multiples of 8, so
+    * Adam7 edge passes and sub-byte row padding are load-bearing.
+    */
+  val ProfW = 19
+  val ProfH = 13
+
+  final case class ProfilePart(media_ref: String, profile: String,
+                               width: Long, height: Long, pix_fp: Long)
+
+  /** Closed-form rasters for the PNG profile gate (all linear in (x, y)
+    * and the per-ref seed s, so the oracle generates them in SQL):
+    *  - rgb:      the [[rulePixels]] formulas;
+    *  - gray8:    g = (7x+13y+s) mod 256 replicated;
+    *  - gray1:    255·((x+y+s) mod 2);
+    *  - gray4:    17·((x+3y+s) mod 16);
+    *  - palette8: idx = (3x+5y+s) mod 256 through
+    *              pal(i) = ((7i+s), (11i+2s), (i+3s)) mod 256;
+    *  - palette4: idx = (x+2y+s) mod 16 through the same pal.
+    */
+  def profileSeed(ref: String): Int = (Hashing.md5i(s"px|$ref") % 251L).toInt
+
+  private def profPalette(s: Int, n: Int): Array[Byte] = {
+    val p = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) {
+      p(i * 3) = ((7 * i + s) % 256).toByte
+      p(i * 3 + 1) = ((11 * i + 2 * s) % 256).toByte
+      p(i * 3 + 2) = ((i + 3 * s) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** One media ref's PNG-profile sweep: the SAME closed-form content
+    * encoded through twelve spec profiles (color type × depth ×
+    * interlace), each REALLY decoded back (inflate + per-pass unfilter +
+    * bit unpack + palette/alpha/16-bit handling) and checksummed. The
+    * alpha, low-byte, and interlace variants must decode to the SAME
+    * pixels as their base profile — so a stride, scatter, or channel-skip
+    * bug anywhere in the decoder hash-fails against the oracle's
+    * closed-form replay.
+    */
+  def processProfiles(ref: String): Seq[ProfilePart] = {
+    import graft.vision.PixelKernel._
+    val s = profileSeed(ref)
+    val (w, h) = (ProfW, ProfH)
+    def grid(f: (Int, Int) => Seq[Int]): Array[Int] =
+      (0 until h).flatMap(y => (0 until w).flatMap(x => f(x, y))).toArray
+    val rgb = grid((x, y) => Seq((7 * x + 13 * y + s) % 256,
+      (11 * x + 3 * y + 2 * s) % 256, (x + y + 3 * s) % 256))
+    val gray = grid((x, y) => Seq((7 * x + 13 * y + s) % 256))
+    val variants: Seq[(String, Array[Byte])] = Seq(
+      "truecolor" -> encodePngEx(w, h, 2, 8, rgb, Array.empty, interlaced = false),
+      "adam7" -> encodePngEx(w, h, 2, 8, rgb, Array.empty, interlaced = true),
+      "rgb16" -> encodePngEx(w, h, 2, 16,
+        grid((x, y) => Seq(
+          (((7 * x + 13 * y + s) % 256) << 8) | ((x + y + s) % 256),
+          (((11 * x + 3 * y + 2 * s) % 256) << 8) | ((x + 2 * y + s) % 256),
+          (((x + y + 3 * s) % 256) << 8) | ((2 * x + y + s) % 256))),
+        Array.empty, interlaced = false),
+      "rgba8" -> encodePngEx(w, h, 6, 8,
+        grid((x, y) => Seq((7 * x + 13 * y + s) % 256,
+          (11 * x + 3 * y + 2 * s) % 256, (x + y + 3 * s) % 256,
+          (x + 2 * y + s) % 256)),
+        Array.empty, interlaced = false),
+      "gray8" -> encodePngEx(w, h, 0, 8, gray, Array.empty, interlaced = false),
+      "gray8_adam7" -> encodePngEx(w, h, 0, 8, gray, Array.empty, interlaced = true),
+      "gray16" -> encodePngEx(w, h, 0, 16,
+        grid((x, y) => Seq((((7 * x + 13 * y + s) % 256) << 8) |
+          ((5 * x + y + s) % 256))),
+        Array.empty, interlaced = false),
+      "graya8" -> encodePngEx(w, h, 4, 8,
+        grid((x, y) => Seq((7 * x + 13 * y + s) % 256, (x + 2 * y + s) % 256)),
+        Array.empty, interlaced = false),
+      "gray1" -> encodePngEx(w, h, 0, 1,
+        grid((x, y) => Seq((x + y + s) % 2)), Array.empty, interlaced = false),
+      "gray4" -> encodePngEx(w, h, 0, 4,
+        grid((x, y) => Seq((x + 3 * y + s) % 16)), Array.empty, interlaced = false),
+      "palette8" -> encodePngEx(w, h, 3, 8,
+        grid((x, y) => Seq((3 * x + 5 * y + s) % 256)),
+        profPalette(s, 256), interlaced = false),
+      "palette4_adam7" -> encodePngEx(w, h, 3, 4,
+        grid((x, y) => Seq((x + 2 * y + s) % 16)),
+        profPalette(s, 16), interlaced = true))
+    variants.map { case (name, bytes) =>
+      val dec = decodePng(bytes)
+      ProfilePart(ref, name, dec.w.toLong, dec.h.toLong, pixelChecksum(dec))
+    }
+  }
+
+  def pngProfileParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val refs = docs.filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("img://"), id, lit("/0")).as("media_ref"))
+      .filter(Hashing.md5iCol(concat(lit("pxs|"), col("media_ref")))
+        % SubsetMod === 0L)
+    refs.as[String].mapPartitions(_.flatMap(processProfiles)).toDF()
+  }
 }

@@ -66,41 +66,10 @@ object PixelKernel {
     * filters makes the decoder's unfilter paths load-bearing in round
     * trips.
     */
-  def encodePng(img: Rgb, filterOf: Int => Int = _ % 5): Array[Byte] = {
-    val stride = img.w * 3
-    val raw = new Array[Byte]((stride + 1) * img.h)
-    var y = 0
-    while (y < img.h) {
-      val f = filterOf(y) % 5
-      raw(y * (stride + 1)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = img.data(y * stride + x) & 0xff
-        val left = if (x >= 3) img.data(y * stride + x - 3) & 0xff else 0
-        val up = if (y > 0) img.data((y - 1) * stride + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) img.data((y - 1) * stride + x - 3) & 0xff else 0
-        val enc = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 => cur - paeth(left, up, ul)
-        }
-        raw(y * (stride + 1) + 1 + x) = enc.toByte
-        x += 1
-      }
-      y += 1
-    }
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
-    val ihdr = be32(img.w) ++ be32(img.h) ++ Array[Byte](8, 2, 0, 0, 0)
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
-      chunk("IEND", Array.empty)
-  }
+  def encodePng(img: Rgb, filterOf: Int => Int = _ % 5): Array[Byte] =
+    encodePngEx(img.w, img.h, colorType = 2, depth = 8,
+      samples = img.data.map(_ & 0xff), palette = Array.empty,
+      interlaced = false, filterOf = filterOf)
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -108,39 +77,178 @@ object PixelKernel {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Full PNG pixel decode: chunk walk with CRC verification, zlib
-    * inflate of the concatenated IDAT stream, per-row unfilter (all five
-    * spec filters). Supports the encoder's profile (8-bit truecolor,
-    * non-interlaced) — anything else throws (callers degrade corrupt
-    * rows, as MediaKernel does for headers).
+  /** Channel count per PNG color type (0 gray, 2 rgb, 3 palette index,
+    * 4 gray+alpha, 6 rgba).
+    */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case other => throw new IllegalArgumentException(s"bad color type $other")
+  }
+
+  private def validPngProfile(colorType: Int, depth: Int): Boolean =
+    colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case _ => false
+    }
+
+  /** Adam7 pass table: (x0, y0, dx, dy) per the spec's pixel schedule. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passesOf(interlaced: Boolean): Array[(Int, Int, Int, Int)] =
+    if (interlaced) Adam7 else Array((0, 0, 1, 1))
+
+  /** General PNG encode across the spec's profile space: color types
+    * 0/2/3/4/6, bit depths 1-16 (where the spec allows them), optional
+    * Adam7 interlace. `samples` is sample-major (pixel·channels + c) raw
+    * values — palette indices for type 3, 16-bit samples as 0..65535.
+    * Filters still cycle via `filterOf` (indexed by a global emitted-row
+    * counter so interlaced passes keep exercising all five unfilters).
+    */
+  def encodePngEx(w: Int, h: Int, colorType: Int, depth: Int,
+                  samples: Array[Int], palette: Array[Byte],
+                  interlaced: Boolean,
+                  filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(validPngProfile(colorType, depth),
+      s"invalid PNG profile: color type $colorType at depth $depth")
+    val channels = pngChannels(colorType)
+    require(samples.length == w * h * channels, "bad sample buffer")
+    if (colorType == 3)
+      require(palette.nonEmpty && palette.length % 3 == 0 &&
+        palette.length <= 768, "palette required for color type 3")
+    val raw = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    passesOf(interlaced).foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * channels * depth + 7) / 8).toInt
+        val bpp = math.max(1, channels * depth / 8)
+        var prev = new Array[Byte](rowBytes)
+        var py = 0
+        while (py < ph) {
+          // pack this pass row's samples into bytes (big-endian in-byte)
+          val cur = new Array[Byte](rowBytes)
+          var px = 0
+          while (px < pw) {
+            val sx = x0 + px * dx; val sy = y0 + py * dy
+            var c = 0
+            while (c < channels) {
+              val v = samples((sy * w + sx) * channels + c)
+              val si = px * channels + c
+              if (depth == 16) {
+                cur(si * 2) = (v >>> 8).toByte; cur(si * 2 + 1) = v.toByte
+              } else if (depth == 8) cur(si) = v.toByte
+              else {
+                val bit = si * depth
+                cur(bit / 8) = (cur(bit / 8) |
+                  ((v & ((1 << depth) - 1)) << (8 - depth - bit % 8))).toByte
+              }
+              c += 1
+            }
+            px += 1
+          }
+          val f = filterOf(rowCounter) % 5
+          rowCounter += 1
+          val enc = new Array[Byte](rowBytes)
+          var x = 0
+          while (x < rowBytes) {
+            val cv = cur(x) & 0xff
+            val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+            val up = if (py > 0) prev(x) & 0xff else 0
+            val ul = if (x >= bpp && py > 0) prev(x - bpp) & 0xff else 0
+            enc(x) = (f match {
+              case 0 => cv
+              case 1 => cv - left
+              case 2 => cv - up
+              case 3 => cv - (left + up) / 2
+              case 4 => cv - paeth(left, up, ul)
+            }).toByte
+            x += 1
+          }
+          raw.write(f)
+          raw.write(enc)
+          prev = cur
+          py += 1
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0)
+    PngSig ++ chunk("IHDR", ihdr) ++
+      (if (colorType == 3) chunk("PLTE", palette) else Array.empty[Byte]) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+  }
+
+  /** Full PNG pixel decode across the profile space the reference's
+    * `png` feature handles (ref Cargo.toml:12, cli/app.rs:95-101
+    * `image::open`): color types 0/2/3/4/6, bit depths 1-16, optional
+    * Adam7 interlace. Chunk walk with CRC verification, zlib inflate of
+    * the concatenated IDAT stream, per-row byte unfilter (all five spec
+    * filters, per pass), then sample unpack to RGB8: sub-byte gray
+    * scales by 255/(2^d−1) exactly, 16-bit keeps the high byte (the
+    * png_set_strip_16 convention), palette indices expand through PLTE,
+    * alpha channels are dropped (the to_rgb8 convention — PNG alpha is
+    * non-premultiplied, so the stored RGB is unchanged). Anything
+    * malformed throws (callers degrade corrupt rows).
     */
   def decodePng(bytes: Array[Byte]): Rgb = {
     require(bytes.length > 8 && bytes.take(8).sameElements(PngSig), "not a PNG")
     var i = 8
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
+    var plte: Array[Byte] = Array.empty
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && i + 8 <= bytes.length) {
       val len = readBe32(bytes, i)
       val tag = new String(bytes, i + 4, 4, "US-ASCII")
-      require(i + 8 + len + 4 <= bytes.length, s"truncated chunk $tag")
+      require(len >= 0 && i + 8 + len + 4 <= bytes.length, s"truncated chunk $tag")
       val data = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
       val crc = readBe32(bytes, i + 8 + len)
       require(crc == crc32(tag.getBytes("US-ASCII"), data), s"bad CRC in $tag")
       tag match {
         case "IHDR" =>
           w = readBe32(data, 0); h = readBe32(data, 4)
-          require(data(8) == 8 && data(9) == 2 && data(12) == 0,
-            "unsupported PNG profile (need 8-bit truecolor, non-interlaced)")
+          depth = data(8) & 0xff; colorType = data(9) & 0xff
+          interlace = data(12) & 0xff
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+            s"implausible raster ${w}x$h") // reject before any allocation
+          require(validPngProfile(colorType, depth),
+            s"unsupported PNG profile (color type $colorType, depth $depth)")
+          require(interlace == 0 || interlace == 1, s"bad interlace $interlace")
+        case "PLTE" =>
+          require(data.length % 3 == 0 && data.length <= 768, "bad PLTE")
+          plte = data
         case "IDAT" => idat.write(data)
         case "IEND" => done = true
-        case _ => // ancillary chunks skipped
+        case _ => // ancillary chunks skipped (incl. tRNS: alpha is dropped)
       }
       i += 12 + len
     }
     require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
-    val stride = w * 3
-    val raw = new Array[Byte]((stride + 1) * h)
+    require(colorType != 3 || plte.nonEmpty, "palette PNG missing PLTE")
+    val channels = pngChannels(colorType)
+    val passes = passesOf(interlace == 1)
+    // exact filtered-stream length across (possibly empty) passes
+    val rawLen = passes.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0)
+        ph.toLong * (1L + (pw.toLong * channels * depth + 7) / 8)
+      else 0L
+    }.sum
+    require(rawLen <= Int.MaxValue, "raster too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -151,28 +259,78 @@ object PixelKernel {
     }
     inf.end()
     require(off == raw.length, s"inflated $off of ${raw.length} filtered bytes")
-    val out = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      var x = 0
-      while (x < stride) {
-        val enc = raw(y * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= 3) out(y * stride + x - 3) & 0xff else 0
-        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) out((y - 1) * stride + x - 3) & 0xff else 0
-        val dec = f match {
-          case 0 => enc
-          case 1 => enc + left
-          case 2 => enc + up
-          case 3 => enc + (left + up) / 2
-          case 4 => enc + paeth(left, up, ul)
-          case other => throw new IllegalArgumentException(s"bad filter $other")
+    val out = new Array[Byte](w * h * 3)
+    val scale = depth match { // exact 255/(2^d−1) for sub-byte gray
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
+    var pos = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * channels * depth + 7) / 8).toInt
+        val bpp = math.max(1, channels * depth / 8)
+        var prev = new Array[Byte](rowBytes)
+        var py = 0
+        while (py < ph) {
+          val f = raw(pos) & 0xff
+          pos += 1
+          val cur = new Array[Byte](rowBytes)
+          var x = 0
+          while (x < rowBytes) {
+            val enc = raw(pos + x) & 0xff
+            val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+            val up = if (py > 0) prev(x) & 0xff else 0
+            val ul = if (x >= bpp && py > 0) prev(x - bpp) & 0xff else 0
+            cur(x) = (f match {
+              case 0 => enc
+              case 1 => enc + left
+              case 2 => enc + up
+              case 3 => enc + (left + up) / 2
+              case 4 => enc + paeth(left, up, ul)
+              case other => throw new IllegalArgumentException(s"bad filter $other")
+            }).toByte
+            x += 1
+          }
+          pos += rowBytes
+          // sample extraction for this pass row
+          def sampleAt(px: Int, c: Int): Int = {
+            val si = px * channels + c
+            depth match {
+              case 16 => ((cur(si * 2) & 0xff) << 8) | (cur(si * 2 + 1) & 0xff)
+              case 8 => cur(si) & 0xff
+              case d =>
+                val bit = si * d
+                (cur(bit / 8) >> (8 - d - bit % 8)) & ((1 << d) - 1)
+            }
+          }
+          var px = 0
+          while (px < pw) {
+            val oi = ((y0 + py * dy) * w + (x0 + px * dx)) * 3
+            colorType match {
+              case 0 | 4 => // gray (+ dropped alpha)
+                val g0 = sampleAt(px, 0)
+                val g = (if (depth == 16) g0 >>> 8 else g0 * scale).toByte
+                out(oi) = g; out(oi + 1) = g; out(oi + 2) = g
+              case 2 | 6 => // rgb (+ dropped alpha)
+                var c = 0
+                while (c < 3) {
+                  val v = sampleAt(px, c)
+                  out(oi + c) = (if (depth == 16) v >>> 8 else v).toByte
+                  c += 1
+                }
+              case 3 =>
+                val idx = sampleAt(px, 0)
+                require(idx * 3 + 2 < plte.length, s"palette index $idx out of range")
+                out(oi) = plte(idx * 3); out(oi + 1) = plte(idx * 3 + 1)
+                out(oi + 2) = plte(idx * 3 + 2)
+            }
+            px += 1
+          }
+          prev = cur
+          py += 1
         }
-        out(y * stride + x) = dec.toByte
-        x += 1
       }
-      y += 1
     }
     Rgb(w, h, out)
   }

@@ -25,6 +25,133 @@ class PixelSpec extends AnyFunSuite {
     }
   }
 
+  // ---- PNG profile space (palette / grayscale / 16-bit / Adam7) ----
+
+  test("PNG profiles: alpha, 16-bit, and interlace variants decode to their base profile's pixels") {
+    val parts = PixelOps.processProfiles("img://77/0")
+    val fp = parts.map(p => p.profile -> p.pix_fp).toMap
+    assert(fp("adam7") == fp("truecolor"))
+    assert(fp("rgba8") == fp("truecolor"))
+    assert(fp("rgb16") == fp("truecolor"))
+    assert(fp("gray8_adam7") == fp("gray8"))
+    assert(fp("gray16") == fp("gray8"))
+    assert(fp("graya8") == fp("gray8"))
+    // distinct content profiles must NOT collide
+    assert(Seq("truecolor", "gray8", "gray1", "gray4", "palette8",
+      "palette4_adam7").map(fp).distinct.size == 6)
+  }
+
+  test("PNG profiles: cross-decoder parity with JDK ImageIO on every profile") {
+    import graft.vision.PixelKernel._
+    val s = 113
+    val (w, h) = (19, 13)
+    def grid(ch: Int)(f: (Int, Int) => Seq[Int]): Array[Int] =
+      (0 until h).flatMap(y => (0 until w).flatMap(x => f(x, y))).toArray
+    val rgb = grid(3)((x, y) => Seq((7 * x + 13 * y + s) % 256,
+      (11 * x + 3 * y + 2 * s) % 256, (x + y + 3 * s) % 256))
+    val gray = grid(1)((x, y) => Seq((7 * x + 13 * y + s) % 256))
+    val pal = (0 until 256).flatMap(i =>
+      Seq((7 * i + s) % 256, (11 * i + 2 * s) % 256, (i + 3 * s) % 256))
+      .map(_.toByte).toArray
+    val variants: Seq[(String, Array[Byte])] = Seq(
+      "truecolor" -> encodePngEx(w, h, 2, 8, rgb, Array.empty, false),
+      "adam7" -> encodePngEx(w, h, 2, 8, rgb, Array.empty, true),
+      "rgb16" -> encodePngEx(w, h, 2, 16, rgb.map(v => (v << 8) | (v ^ 0x5a)),
+        Array.empty, false),
+      "rgba8" -> encodePngEx(w, h, 6, 8,
+        grid(4)((x, y) => Seq((7 * x + 13 * y + s) % 256,
+          (11 * x + 3 * y + 2 * s) % 256, (x + y + 3 * s) % 256,
+          (x + 2 * y) % 256)), Array.empty, false),
+      "gray8" -> encodePngEx(w, h, 0, 8, gray, Array.empty, false),
+      "gray8_adam7" -> encodePngEx(w, h, 0, 8, gray, Array.empty, true),
+      "gray16" -> encodePngEx(w, h, 0, 16, gray.map(v => (v << 8) | (v ^ 0x33)),
+        Array.empty, false),
+      "graya8" -> encodePngEx(w, h, 4, 8,
+        grid(2)((x, y) => Seq((7 * x + 13 * y + s) % 256, (x + y) % 256)),
+        Array.empty, false),
+      "gray1" -> encodePngEx(w, h, 0, 1, grid(1)((x, y) => Seq((x + y) % 2)),
+        Array.empty, false),
+      "gray2" -> encodePngEx(w, h, 0, 2, grid(1)((x, y) => Seq((x + 2 * y) % 4)),
+        Array.empty, false),
+      "gray4" -> encodePngEx(w, h, 0, 4, grid(1)((x, y) => Seq((x + 3 * y) % 16)),
+        Array.empty, false),
+      "palette8" -> encodePngEx(w, h, 3, 8,
+        grid(1)((x, y) => Seq((3 * x + 5 * y + s) % 256)), pal, false),
+      "palette4" -> encodePngEx(w, h, 3, 4,
+        grid(1)((x, y) => Seq((x + 2 * y) % 16)), pal.take(48), false),
+      "palette4_adam7" -> encodePngEx(w, h, 3, 4,
+        grid(1)((x, y) => Seq((x + 2 * y) % 16)), pal.take(48), true),
+      "palette2" -> encodePngEx(w, h, 3, 2,
+        grid(1)((x, y) => Seq((x + y) % 4)), pal.take(12), false),
+      "palette1_adam7" -> encodePngEx(w, h, 3, 1,
+        grid(1)((x, y) => Seq((x + y) % 2)), pal.take(6), true))
+    variants.foreach { case (name, bytes) =>
+      val ours = decodePng(bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"$name: ImageIO could not read")
+      assert(img.getWidth == w && img.getHeight == h, name)
+      val raster = img.getRaster
+      val cm = img.getColorModel
+      val isPalette = cm.isInstanceOf[java.awt.image.IndexColorModel]
+      val is16 = cm.getComponentSize(0) == 16
+      val bands = raster.getNumBands
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val ourV = ours.data((y * w + x) * 3 + c) & 0xff
+        val ref =
+          if (isPalette) {
+            val icm = cm.asInstanceOf[java.awt.image.IndexColorModel]
+            val idx = raster.getSample(x, y, 0)
+            c match {
+              case 0 => icm.getRed(idx); case 1 => icm.getGreen(idx)
+              case _ => icm.getBlue(idx)
+            }
+          } else {
+            // gray images: one band (plus alpha); rgb: three (plus alpha)
+            val band = if (bands <= 2) 0 else c
+            val v = raster.getSample(x, y, band)
+            if (is16) v >>> 8 else v * (bands match {
+              case _ if cm.getComponentSize(0) == 1 => 255
+              case _ if cm.getComponentSize(0) == 2 => 85
+              case _ if cm.getComponentSize(0) == 4 => 17
+              case _ => 1
+            })
+          }
+        assert(ourV == ref, s"$name ($x,$y,c$c): ours=$ourV imageio=$ref")
+      }
+    }
+  }
+
+  test("PNG fuzz: garbage / mutated / truncated profile streams terminate structurally") {
+    val rng = new scala.util.Random(43)
+    val seeds = PixelOps.processProfiles("img://55/0") // 12 valid profiles
+    val valids = {
+      import graft.vision.PixelKernel._
+      val s = PixelOps.profileSeed("img://55/0")
+      val g = (0 until 13).flatMap(y => (0 until 19).map(x =>
+        (7 * x + 13 * y + s) % 256)).toArray
+      Seq(
+        encodePngEx(19, 13, 0, 8, g, Array.empty, false),
+        encodePngEx(19, 13, 0, 8, g, Array.empty, true),
+        encodePngEx(19, 13, 3, 4, g.map(_ % 16), Array.fill(48)(7.toByte), true))
+    }
+    assert(seeds.nonEmpty)
+    for (trial <- 0 until 300) {
+      val base = valids(trial % valids.size)
+      val bytes = trial % 3 match {
+        case 0 => Array.fill(rng.nextInt(120) + 1)(rng.nextInt(256).toByte)
+        case 1 =>
+          val b = base.clone()
+          b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+          b
+        case _ => java.util.Arrays.copyOf(base, rng.nextInt(base.length) + 1)
+      }
+      // property: always terminates; failures are structured
+      // RuntimeExceptions, never a hang or a multi-GB allocation
+      try PixelKernel.decodePng(bytes)
+      catch { case _: RuntimeException => () }
+    }
+  }
+
   test("PNG decode verifies CRCs and rejects corrupt bytes") {
     val img = ruleImg("img://9/9", 16, 16)
     val png = PixelKernel.encodePng(img)
