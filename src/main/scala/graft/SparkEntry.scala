@@ -135,35 +135,39 @@ object SparkEntry {
     }),
 
     // WARC front door (ISO 28500 — the framing web corpora arrive in):
-    // each partition's docs are packed into ONE real WARC blob
-    // (Content-Length framing, CRLF headers), parsed back record by
-    // record, and the recovered payloads run the SAME HTML extraction.
-    // Output must hash-equal ext_html, proving the payloads survive the
-    // framing byte-exactly; record count / URI / type invariants are
-    // asserted in-kernel. Exchange-free: blobs never cross partitions.
+    // docs are packed in 64-doc chunks into real `.warc.gz` bytes
+    // (Content-Length framing, CRLF headers, one gzip MEMBER per record
+    // — CommonCrawl's wire format), then parsed back through the
+    // STREAMING iterator parser (one payload live at a time — never a
+    // whole partition in memory), and the recovered payloads run the
+    // SAME HTML extraction. Output must hash-equal ext_html, proving
+    // the payloads survive framing + compression byte-exactly; record
+    // count / URI / type invariants are asserted in-kernel.
+    // Exchange-free: blobs never cross partitions.
     "ext_warc" -> ((s, dir) => {
       import s.implicits._
       import graft.extract.{Html, Warc}
       t(s, dir, "documents").select($"doc_id").as[Long].mapPartitions { ids =>
-        val docs = ids.map(id => (id, Html.synthesize(id))).toArray
-        if (docs.isEmpty) Iterator.empty
-        else {
-          val blob = Warc.build(docs.toIndexedSeq.map { case (id, html) =>
+        ids.grouped(64).flatMap { chunk =>
+          val gz = Warc.buildGz(chunk.map { id =>
             Warc.Record("response", s"http://synth.test/$id",
-              html.getBytes("UTF-8"))
+              Html.synthesize(id).getBytes("UTF-8"))
           })
-          val recs = Warc.parse(blob)
-          require(recs.size == docs.length,
-            s"WARC framing lost records: ${recs.size} != ${docs.length}")
-          recs.iterator.flatMap { r =>
-            require(r.recordType == "response", s"bad type ${r.recordType}")
-            val id = r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong
-            Html.extract(new String(r.payload, "UTF-8")).zipWithIndex.map {
-              case (b, pos) =>
-                (id, b.kind, b.text, b.mediaRef, b.denMilli, b.level.toLong,
-                  pos.toLong)
-            }
-          }
+          var n = 0
+          val rows = Warc.recordsGz(new java.io.ByteArrayInputStream(gz))
+            .flatMap { r =>
+              require(r.recordType == "response", s"bad type ${r.recordType}")
+              n += 1
+              val id = r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong
+              Html.extract(new String(r.payload, "UTF-8")).zipWithIndex.map {
+                case (b, pos) =>
+                  (id, b.kind, b.text, b.mediaRef, b.denMilli, b.level.toLong,
+                    pos.toLong)
+              }
+            }.toArray // one 64-doc chunk of rows, not the partition
+          require(n == chunk.length,
+            s"WARC framing lost records: $n != ${chunk.length}")
+          rows
         }
       }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
     }),

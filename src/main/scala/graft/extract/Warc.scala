@@ -46,23 +46,79 @@ object Warc {
     out.toByteArray
   }
 
-  /** Parse a WARC blob into its records. Strict on framing (magic,
-    * Content-Length presence and bounds, record trailer) — corrupt
-    * archives fail structured, never mis-frame.
+  /** Per-record allocation ceiling for the STREAMING parser, which (by
+    * design) cannot validate a declared length against "remaining bytes"
+    * the way a whole-blob parse can — a corrupt Content-Length must fail
+    * structured before a multi-GB buffer exists.
     */
-  def parse(bytes: Array[Byte]): Seq[Record] = {
-    val records = Seq.newBuilder[Record]
-    var pos = 0
-    def line(): String = {
-      val start = pos
-      while (pos + 1 < bytes.length &&
-             !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
-      require(pos + 1 < bytes.length, "unterminated header line")
-      val s = new String(bytes, start, pos - start, "UTF-8")
-      pos += 2
-      s
+  val MaxPayload: Long = 256L * 1024 * 1024
+
+  /** Per-member gzip build — real `.warc.gz` framing: every record is
+    * its own gzip MEMBER, members concatenated, so record boundaries
+    * stay seekable for range readers (exactly how CommonCrawl ships).
+    */
+  def buildGz(records: Seq[Record]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(build(Seq(r)))
+      gz.finish()
     }
-    while (pos < bytes.length) {
+    out.toByteArray
+  }
+
+  /** Parse a WARC blob into its records (whole-blob convenience over
+    * [[records]]; strictness identical).
+    */
+  def parse(bytes: Array[Byte]): Seq[Record] =
+    records(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** Records of a gzipped WARC: GZIPInputStream consumes concatenated
+    * members transparently, and the framing parser below is already
+    * incremental, so a multi-GB `.warc.gz` streams with ONE payload live
+    * at a time.
+    */
+  def recordsGz(in: java.io.InputStream): Iterator[Record] =
+    records(new java.util.zip.GZIPInputStream(in, 64 * 1024))
+
+  /** STREAMING record parser: strict on framing (magic, Content-Length
+    * presence and bounds, record trailer) — corrupt archives fail
+    * structured, never mis-frame. Only the current record's payload is
+    * in memory; the iterator pulls from the stream on demand, so a
+    * 1 GB archive member never materializes whole (the round-4 verdict's
+    * whole-partition-blob finding).
+    */
+  def records(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+    private val bin = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in, 64 * 1024), 1)
+    private var nextRec: Record = _
+    private var eof = false
+
+    private def line(): String = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var b = bin.read()
+      while (b != '\n') {
+        require(b >= 0, "unterminated header line")
+        buf.write(b)
+        b = bin.read()
+      }
+      val arr = buf.toByteArray
+      require(arr.nonEmpty && arr(arr.length - 1) == '\r',
+        "header line missing CR before LF")
+      new String(arr, 0, arr.length - 1, "UTF-8")
+    }
+
+    private var loaded = false
+
+    // LAZY prefetch: nothing is read past the last returned record until
+    // the caller asks for more, so take(1) over a stream whose second
+    // record is corrupt still succeeds (incrementality is observable)
+    private def load(): Unit = if (!loaded && !eof) { advance(); loaded = true }
+
+    private def advance(): Unit = {
+      val first = bin.read()
+      if (first < 0) { eof = true; nextRec = null; return }
+      bin.unread(first)
       val magic = line()
       require(magic == "WARC/1.0", s"bad record magic '$magic'")
       var recordType = ""; var uri = ""; var contentLength = -1L
@@ -83,18 +139,25 @@ object Warc {
         h = line()
       }
       require(contentLength >= 0, "missing Content-Length")
-      require(contentLength <= bytes.length - pos,
-        s"Content-Length $contentLength exceeds remaining ${bytes.length - pos}")
-      val payload = java.util.Arrays.copyOfRange(
-        bytes, pos, pos + contentLength.toInt)
-      pos += contentLength.toInt
-      require(pos + 4 <= bytes.length &&
-        bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
-        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+      require(contentLength <= MaxPayload,
+        s"Content-Length $contentLength exceeds the $MaxPayload per-record cap")
+      val payload = bin.readNBytes(contentLength.toInt)
+      require(payload.length == contentLength,
+        s"Content-Length $contentLength exceeds remaining ${payload.length}")
+      val trailer = bin.readNBytes(4)
+      require(trailer.length == 4 &&
+        trailer(0) == '\r' && trailer(1) == '\n' &&
+        trailer(2) == '\r' && trailer(3) == '\n',
         "missing record trailer")
-      pos += 4
-      records += Record(recordType, uri, payload)
+      nextRec = Record(recordType, uri, payload)
     }
-    records.result()
+
+    override def hasNext: Boolean = { load(); !eof }
+    override def next(): Record = {
+      load()
+      if (eof) throw new NoSuchElementException("past end of WARC stream")
+      loaded = false
+      nextRec
+    }
   }
 }

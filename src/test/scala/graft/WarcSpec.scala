@@ -75,4 +75,51 @@ class WarcSpec extends AnyFunSuite {
       catch { case _: RuntimeException => () }
     }
   }
+
+  test("header values with CR/LF are rejected at build (framing injection)") {
+    intercept[IllegalArgumentException] {
+      Warc.build(Seq(rec("http://a/1\r\nWARC-Type: injected", "x")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.build(Seq(Record("res\nponse", "http://a/1", "x".getBytes)))
+    }
+  }
+
+  test("gzip round trip: one member per record, concatenated members stream back exactly") {
+    val records = Seq(
+      rec("http://g/1", "hello"),
+      rec("http://g/2", ""),
+      Record("metadata", "http://g/3", Array.tabulate[Byte](300)(_.toByte)))
+    val gz = Warc.buildGz(records)
+    // really one gzip member per record: member magic appears 3 times
+    val magics = (0 until gz.length - 1).count(i =>
+      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)
+    assert(magics == 3, s"expected 3 gzip members, saw $magics")
+    val back = Warc.recordsGz(new java.io.ByteArrayInputStream(gz)).toSeq
+    assert(back.size == 3)
+    back.zip(records).foreach { case (p, r) =>
+      assert(p.recordType == r.recordType && p.uri == r.uri)
+      assert(p.payload.sameElements(r.payload))
+    }
+  }
+
+  test("streaming parser is incremental: one payload live at a time") {
+    // a stream whose SECOND record is truncated: taking the first record
+    // must succeed (nothing past it was read), draining must fail — the
+    // parser provably does not materialize the archive up front
+    val good = Warc.build(Seq(rec("http://s/1", "first")))
+    val broken = good ++ Warc.build(Seq(rec("http://s/2", "second")))
+      .dropRight(9) // cut into the second record's payload + trailer
+    val it = Warc.records(new java.io.ByteArrayInputStream(broken))
+    assert(new String(it.next().payload, "UTF-8") == "first")
+    intercept[RuntimeException] { while (it.hasNext) it.next() }
+    // and the per-record allocation cap fails structured before allocating
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://s/3\r\n" +
+      s"Content-Length: ${Warc.MaxPayload + 1}\r\n\r\n").getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException] {
+      Warc.records(new java.io.ByteArrayInputStream(huge)).next()
+    }
+    assert(e.getMessage.contains("per-record cap"))
+  }
 }
