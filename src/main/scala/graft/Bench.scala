@@ -224,10 +224,14 @@ object Bench {
     // linearly with nodes, so the unsaturated regime is the faithful
     // proxy — same reasoning as round 1's N=4-not-8 choice.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    // Round-4 default: 64M docs (4× round 3) — the scaling story must
-    // hold as shuffle volume quadruples (VERDICT r3 item 9). Diagnostics
+    // Round-5 default: 128M docs (2× round 4's official volume) — the
+    // committed artifact itself keeps the volume-doubling trend moving
+    // (16M → 64M → 128M) while staying inside a ~30 min harness wall.
+    // The 256M extension (4× round 4) is a separately committed clean
+    // run (bench_256m_r5.json; BENCH.md round-5 addendum) because its
+    // ~55 min wall does not belong in the per-round harness. Diagnostics
     // below hold round-3-constant work so their walls stay comparable.
-    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "64000000").toLong
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_TARGET_DOCS", "128000000").toLong
 
     // ---- scaling evidence: identical job at local[N] then local[4N] ----
     // Phase 0: one throwaway session to (a) size the amplification for the

@@ -172,6 +172,52 @@ object SparkEntry {
       }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
     }),
 
+    // CDX point reads into `.warc.gz`: the write path emits a member
+    // index (offset/length per record — the cdx sidecar CommonCrawl
+    // ships), and point reads slice ONLY the indexed member byte ranges,
+    // each an independently-decompressible gzip member — never scanning
+    // or inflating the archive. In-kernel accounting proves the skip
+    // (bytes read < archive bytes whenever the sample is a strict
+    // subset) and each slice must parse to exactly its own record.
+    // Oracle: the shared ext_html closed form restricted to the same
+    // deterministic sample predicate.
+    "ext_warc_cdx" -> ((s, dir) => {
+      import s.implicits._
+      import graft.extract.{Html, Warc}
+      import graft.functions.Hashing
+      t(s, dir, "documents").select($"doc_id").as[Long].mapPartitions { ids =>
+        ids.grouped(64).flatMap { chunk =>
+          val (gz, idx) = Warc.buildGzIndexed(chunk.map { id =>
+            Warc.Record("response", s"http://synth.test/$id",
+              Html.synthesize(id).getBytes("UTF-8"))
+          })
+          require(idx.map(_.length).sum == gz.length,
+            "cdx index must cover the archive exactly")
+          val wanted = idx.filter { e =>
+            val id = e.uri.substring(e.uri.lastIndexOf('/') + 1)
+            Hashing.md5i("cdx|" + id) % 8 == 0
+          }
+          require(wanted.size == chunk.length ||
+              wanted.map(_.length).sum < gz.length,
+            "point reads must touch fewer bytes than the archive")
+          wanted.iterator.flatMap { e =>
+            val slice = java.util.Arrays.copyOfRange(
+              gz, e.offset.toInt, (e.offset + e.length).toInt)
+            val rs = Warc.recordsGz(
+              new java.io.ByteArrayInputStream(slice)).toList
+            require(rs.size == 1 && rs.head.uri == e.uri,
+              s"member slice mis-framed for ${e.uri}")
+            val id = e.uri.substring(e.uri.lastIndexOf('/') + 1).toLong
+            Html.extract(new String(rs.head.payload, "UTF-8")).zipWithIndex
+              .map { case (b, pos) =>
+                (id, b.kind, b.text, b.mediaRef, b.denMilli,
+                  b.level.toLong, pos.toLong)
+              }
+          }
+        }
+      }.toDF("doc_id", "kind", "text", "media_ref", "den_milli", "lvl", "ord")
+    }),
+
     // The HTML tokenizer as a DISTRIBUTED pipeline: same salt + sketch-
     // routed range placement + single exchange as the span pipeline
     // (Extraction.pipelineWith), with Html.extract as the narrow kernel.
@@ -1173,14 +1219,20 @@ object SparkEntry {
          |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
          |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin
 
-  private lazy val extHtmlOracleSql: String =
+  private lazy val extHtmlOracleSql: String = extHtmlOracleSqlWhere("")
+
+  /** The shared closed-form HTML block stream, optionally restricted to a
+    * doc_id subset — ext_warc_cdx gates its point reads against the same
+    * rule ext_html/ext_warc replay, just filtered to the sampled ids.
+    */
+  private def extHtmlOracleSqlWhere(where: String): String =
     s"""WITH r AS (
        |  SELECT doc_id, i,
        |    ${md5iSql("'hk|' || doc_id || '|' || i")} % 7 AS k,
        |    ${md5iSql("'hl|' || doc_id || '|' || i")} % 3 + 1 AS lvl
        |  FROM (SELECT doc_id,
        |          unnest(generate_series(0, CAST(doc_id % 4 + 2 AS INT))) AS i
-       |        FROM documents)),
+       |        FROM documents$where)),
        |b AS (
        |  SELECT doc_id, i, 0 AS cell,
        |    CASE WHEN k = 0 THEN 'heading' WHEN k IN (1, 2) THEN 'paragraph'
@@ -1280,6 +1332,12 @@ object SparkEntry {
     // stream — hash parity proves the HTML payloads survived the WARC
     // framing byte-exactly (framing invariants asserted in-query).
     "ext_warc" -> extHtmlOracleSql,
+
+    // The same rule restricted to the cdx sample predicate: hash parity
+    // proves the indexed member slices decompress to exactly the right
+    // payloads (byte-skipping asserted in-kernel).
+    "ext_warc_cdx" -> extHtmlOracleSqlWhere(
+      s" WHERE ${md5iSql("'cdx|' || doc_id")} % 8 = 0"),
 
     "ext_html_pipeline" ->
       s"""WITH r AS (

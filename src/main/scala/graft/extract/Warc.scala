@@ -57,14 +57,31 @@ object Warc {
     * its own gzip MEMBER, members concatenated, so record boundaries
     * stay seekable for range readers (exactly how CommonCrawl ships).
     */
-  def buildGz(records: Seq[Record]): Array[Byte] = {
+  def buildGz(records: Seq[Record]): Array[Byte] = buildGzIndexed(records)._1
+
+  /** One CDX-style index row per archive member: the byte range
+    * `[offset, offset+length)` of the gzip member holding `uri`'s record.
+    * Because each member is an independent gzip stream, that slice
+    * decompresses on its own — the property CommonCrawl's cdx indexes
+    * exploit for point reads without scanning the archive.
+    */
+  final case class CdxEntry(uri: String, offset: Long, length: Long)
+
+  /** [[buildGz]] plus the member index (offsets measured while writing,
+    * never re-derived by scanning — the index IS the write path's
+    * byproduct, exactly like a cdx sidecar file).
+    */
+  def buildGzIndexed(records: Seq[Record]): (Array[Byte], Seq[CdxEntry]) = {
     val out = new java.io.ByteArrayOutputStream()
+    val idx = Seq.newBuilder[CdxEntry]
     records.foreach { r =>
+      val off = out.size().toLong
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(build(Seq(r)))
       gz.finish()
+      idx += CdxEntry(r.uri, off, out.size().toLong - off)
     }
-    out.toByteArray
+    (out.toByteArray, idx.result())
   }
 
   /** Parse a WARC blob into its records (whole-blob convenience over

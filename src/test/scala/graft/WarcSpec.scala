@@ -103,6 +103,29 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx index: every member slice decompresses independently to its record") {
+    val records = (0 until 9).map(i => rec(s"http://c/$i", s"body-$i-" + "z" * i))
+    val (gz, idx) = Warc.buildGzIndexed(records)
+    assert(idx.size == 9)
+    // the index covers the archive exactly, members are contiguous
+    assert(idx.map(_.length).sum == gz.length)
+    assert(idx.head.offset == 0)
+    idx.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.length == b.offset)
+    }
+    // a point read touches ONLY the slice and still yields the record
+    idx.zip(records).foreach { case (e, r) =>
+      val slice = java.util.Arrays.copyOfRange(
+        gz, e.offset.toInt, (e.offset + e.length).toInt)
+      val back = Warc.recordsGz(new java.io.ByteArrayInputStream(slice)).toSeq
+      assert(back.size == 1 && back.head.uri == r.uri)
+      assert(back.head.payload.sameElements(r.payload))
+      assert(slice.length < gz.length) // provably a partial read
+    }
+    // and buildGz is exactly the indexed build's bytes
+    assert(Warc.buildGz(records).sameElements(gz))
+  }
+
   test("streaming parser is incremental: one payload live at a time") {
     // a stream whose SECOND record is truncated: taking the first record
     // must succeed (nothing past it was read), draining must fail — the
