@@ -629,6 +629,13 @@ object SparkEntry {
     // DedupOps.ngramJaccardPairsBanded)
     "dedup_ngram_banded" -> ((s, dir) =>
       DedupOps.ngramJaccardPairsBanded(s, t(s, dir, "documents"))),
+    // ExactSubstr dedup (Lee et al. 2022): every maximal ≥8-word run
+    // that appears verbatim in ≥2 docs, as (doc_id, span_start,
+    // span_len) word-offset spans — windowed key postings through ONE
+    // bounded-collect exchange, gaps-and-islands merge per doc (see
+    // DedupOps.exactSubstrSpans).
+    "dedup_substr" -> ((s, dir) =>
+      DedupOps.exactSubstrSpans(s, t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDupPairs(s, t(s, dir, "embeddings"))),
     // Multiprobe LSH: each band also probes its Hamming-1 neighbor
@@ -725,6 +732,20 @@ object SparkEntry {
     // decoded byte, so any LZW/bit-unpacking bug hash-fails.
     "mm_gif_pixels" -> ((s, dir) =>
       graft.operators.PixelOps.gifPixelParts(s, t(s, dir, "documents"))),
+
+    // Interlace gate: the SAME frames transmitted in GIF89a 4-pass
+    // interlace row order — the decoder's de-interlace scatter must land
+    // every pixel back in place, so this hash-equals mm_gif_pixels'
+    // oracle verbatim (the mm_jpeg_prog pattern).
+    "mm_gif_interlace" -> ((s, dir) =>
+      graft.operators.PixelOps.gifInterlacePixelParts(s, t(s, dir, "documents"))),
+
+    // Small-code gate: 16-color frames through 4-bit LZW minimum code
+    // size (codes start at 5 bits and widen through boundaries the
+    // 8-bit stream never crosses) AND interlace; the oracle replays the
+    // mod-16 closed-form rule.
+    "mm_gif_small" -> ((s, dir) =>
+      graft.operators.PixelOps.gifSmallPixelParts(s, t(s, dir, "documents"))),
 
     // Real baseline JPEG decode (canonical Huffman per T.81 Annex C/F,
     // byte unstuffing, restart markers, dequant + exact IDCT — pure JVM
@@ -1143,6 +1164,89 @@ object SparkEntry {
     * ext_html (direct extraction) and ext_warc (extraction after WARC
     * framing), which must emit identical rows.
     */
+  /** Shared GIF rule-replay oracle, parameterized on the index rule:
+    * `saltKey` seeds the per-ref offset s and `mod` is the palette-index
+    * modulus — ("gx", 256) replays the 8-bit rule shared verbatim by
+    * mm_gif_pixels (straight scan) and mm_gif_interlace (4-pass
+    * interlace transmission, which must decode to identical pixels);
+    * ("gc", 16) replays the 16-color rule for mm_gif_small's 4-bit LZW
+    * code path. Geometry/subset salts (grw/grh/gxs) are shared so all
+    * three gates cover the same frame set.
+    */
+  private def mmGifOracleSql(saltKey: String, mod: Int): String =
+    s"""WITH refs AS (
+       |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+       |meta0 AS (
+       |  SELECT media_ref,
+       |    (${md5iSql("'grw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+       |    (${md5iSql("'grh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+       |    (${md5iSql(s"'$saltKey|' || media_ref")} % 251)::BIGINT AS s
+       |  FROM refs
+       |  WHERE ${md5iSql("'gxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+       |meta AS (
+       |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
+       |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
+       |  FROM meta0),
+       |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
+       |src AS (
+       |  SELECT m.media_ref, gx.x, gy.y, ch.c,
+       |    CASE ch.c WHEN 0 THEN (3*gx.x + 5*gy.y + m.s) % $mod
+       |              WHEN 1 THEN (7*((3*gx.x + 5*gy.y + m.s) % $mod) + 11) % 256
+       |              ELSE (13*((3*gx.x + 5*gy.y + m.s) % $mod) + 17) % 256 END AS val
+       |  FROM meta m,
+       |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
+       |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
+       |    (SELECT unnest([0,1,2]) AS c) ch),
+       |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
+       |hp AS (
+       |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+       |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+       |  FROM src s
+       |  JOIN gl g ON s.media_ref = g.media_ref
+       |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+       |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+       |vp AS (
+       |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+       |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+       |  FROM hp h
+       |  JOIN gl g ON h.media_ref = g.media_ref
+       |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+       |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+       |grid16 AS (
+       |  SELECT gx.x, gy.y, ch.c
+       |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
+       |       (SELECT unnest(generate_series(0,15)) AS y) gy,
+       |       (SELECT unnest([0,1,2]) AS c) ch),
+       |canvas AS (
+       |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+       |  FROM gl g CROSS JOIN grid16 p
+       |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+       |    AND v.y = p.y - g.yoff AND v.c = p.c),
+       |tiles AS (
+       |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
+       |  FROM meta m,
+       |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+       |tile_vals AS (
+       |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+       |  FROM tiles t
+       |  JOIN src s ON s.media_ref = t.media_ref
+       |    AND s.x >= t.x0 AND s.x < t.x0 + 16
+       |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
+       |tile_parts AS (
+       |  SELECT media_ref, 'tile_' || ti AS part,
+       |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+       |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+       |  FROM tile_vals GROUP BY media_ref, ti),
+       |global_parts AS (
+       |  SELECT media_ref, 'global' AS part,
+       |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+       |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+       |  FROM canvas GROUP BY media_ref)
+       |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+       |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin
+
   /** Shared JPEG rule-replay oracle: mm_jpeg_pixels (baseline codec)
     * and mm_jpeg_prog (progressive codec) must land on the SAME
     * closed-form pixels, so they share this SQL verbatim.
@@ -2139,6 +2243,33 @@ object SparkEntry {
          |            JOIN ds b ON b.doc_id = cand.doc_b)
          |WHERE jacc_i*10 >= jacc_u*3""".stripMargin,
 
+    // ExactSubstr replay: hash every k-word window, keep keys with ≥2
+    // distinct docs and ≤ SubstrMaxOcc total postings (the engine's
+    // bounded-collect viral cut), merge overlapping/adjacent duplicated
+    // positions (gap ≤ k) into maximal spans via gaps-and-islands.
+    "dedup_substr" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+         |  WHERE len(string_split(text,' ')) >= ${DedupOps.SubstrK}
+         |    AND len(string_split(text,' ')) < ${1L << DedupOps.SubstrPosBits}),
+         |occ AS (
+         |  SELECT w.doc_id, g.p,
+         |    ${md5iSql(s"concat_ws(' ', list_slice(w.ws, g.p+1, g.p+${DedupOps.SubstrK}))")} AS key
+         |  FROM words w,
+         |    LATERAL (SELECT unnest(generate_series(0, len(w.ws)-${DedupOps.SubstrK})) AS p) g),
+         |st AS (SELECT key, count(*) AS occs, count(DISTINCT doc_id) AS docs
+         |       FROM occ GROUP BY key),
+         |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN st ON st.key = o.key
+         |        WHERE st.docs >= 2 AND st.occs <= ${DedupOps.SubstrMaxOcc}),
+         |isl AS (SELECT doc_id, p,
+         |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |         <= ${DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
+         |grp AS (SELECT doc_id, p,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)
+         |SELECT doc_id::BIGINT AS doc_id, min(p)::BIGINT AS span_start,
+         |  (max(p) + ${DedupOps.SubstrK} - min(p))::BIGINT AS span_len
+         |FROM grp GROUP BY doc_id, g""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x*x))::BIGINT AS nsq,
@@ -2484,79 +2615,17 @@ object SparkEntry {
     // GIF rule replay: palette indices idx = (3x+5y+s) mod 256 expanded
     // through the fixed palette (i, 7i+11, 13i+17) mod 256 — then the
     // identical convolution/letterbox/tile machinery as mm_pixels.
-    "mm_gif_pixels" ->
-      s"""WITH refs AS (
-         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
-         |  UNION ALL
-         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
-         |meta0 AS (
-         |  SELECT media_ref,
-         |    (${md5iSql("'grw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
-         |    (${md5iSql("'grh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
-         |    (${md5iSql("'gx|' || media_ref")} % 251)::BIGINT AS s
-         |  FROM refs
-         |  WHERE ${md5iSql("'gxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
-         |meta AS (
-         |  SELECT media_ref, rw, rh, s, 16*rw AS sw, 16*rh AS sh,
-         |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
-         |  FROM meta0),
-         |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
-         |src AS (
-         |  SELECT m.media_ref, gx.x, gy.y, ch.c,
-         |    CASE ch.c WHEN 0 THEN (3*gx.x + 5*gy.y + m.s) % 256
-         |              WHEN 1 THEN (7*((3*gx.x + 5*gy.y + m.s) % 256) + 11) % 256
-         |              ELSE (13*((3*gx.x + 5*gy.y + m.s) % 256) + 17) % 256 END AS val
-         |  FROM meta m,
-         |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
-         |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
-         |    (SELECT unnest([0,1,2]) AS c) ch),
-         |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
-         |hp AS (
-         |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
-         |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
-         |  FROM src s
-         |  JOIN gl g ON s.media_ref = g.media_ref
-         |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
-         |  GROUP BY s.media_ref, t.oi, s.y, s.c),
-         |vp AS (
-         |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
-         |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
-         |  FROM hp h
-         |  JOIN gl g ON h.media_ref = g.media_ref
-         |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
-         |  GROUP BY h.media_ref, h.x, t.oi, h.c),
-         |grid16 AS (
-         |  SELECT gx.x, gy.y, ch.c
-         |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
-         |       (SELECT unnest(generate_series(0,15)) AS y) gy,
-         |       (SELECT unnest([0,1,2]) AS c) ch),
-         |canvas AS (
-         |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
-         |  FROM gl g CROSS JOIN grid16 p
-         |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
-         |    AND v.y = p.y - g.yoff AND v.c = p.c),
-         |tiles AS (
-         |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
-         |  FROM meta m,
-         |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
-         |tile_vals AS (
-         |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
-         |  FROM tiles t
-         |  JOIN src s ON s.media_ref = t.media_ref
-         |    AND s.x >= t.x0 AND s.x < t.x0 + 16
-         |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
-         |tile_parts AS (
-         |  SELECT media_ref, 'tile_' || ti AS part,
-         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
-         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
-         |  FROM tile_vals GROUP BY media_ref, ti),
-         |global_parts AS (
-         |  SELECT media_ref, 'global' AS part,
-         |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
-         |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
-         |  FROM canvas GROUP BY media_ref)
-         |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
-         |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin,
+    "mm_gif_pixels" -> mmGifOracleSql("gx", 256),
+
+    // Interlace gate: the engine decodes the SAME rule frames
+    // transmitted in GIF89a 4-pass interlace order — output must
+    // hash-equal the straight-scan replay verbatim (mm_jpeg_prog
+    // pattern), so a de-interlace bug anywhere hash-fails.
+    "mm_gif_interlace" -> mmGifOracleSql("gx", 256),
+
+    // Small-code gate: 16-color frames through 4-bit LZW codes AND
+    // interlace; the oracle replays the mod-16 rule.
+    "mm_gif_small" -> mmGifOracleSql("gc", 16),
 
     // Audio rule replay: quadratic PCM rule regenerated per sample,
     // grouped into 8000-sample windows, integer energy.

@@ -447,4 +447,74 @@ object DedupOps {
         SimilarityOps.dot($"qa", $"qb").as("dot"), $"na", $"nb")
       .filter($"dot" > 0L && lit(25L) * $"dot" * $"dot" >= lit(4L) * $"na" * $"nb")
   }
+
+  /** Exact-substring span dedup parameters: window of [[SubstrK]] words,
+    * per-window posting cap [[SubstrMaxOcc]] (the viral-boilerplate
+    * cut — a window occurring more often corpus-wide is dropped from
+    * candidate discovery entirely, mirrored in the oracle), and
+    * [[SubstrPosBits]] bits of in-doc position packed beside the doc id
+    * in one long posting (docs of ≥2^20 words are excluded up front —
+    * mirrored — keeping doc_id·2^20+pos collision-free through 10^12
+    * docs).
+    */
+  val SubstrK = 8
+  val SubstrMaxOcc = 64
+  val SubstrPosBits = 20
+  private val SubstrPosMod = 1L << SubstrPosBits
+
+  /** EXACT duplicated-substring spans — the suffix-style "exact substr"
+    * dedup of LLM-corpus practice (find every maximal run of ≥ k words
+    * that also appears verbatim in another document), at word
+    * granularity: one row per maximal duplicated span
+    * `(doc_id, span_start, span_len)` in word offsets.
+    *
+    * Shape: a NARROW pass tokenizes and hashes every k-word window to a
+    * 60-bit key carrying `doc_id·2^20 + pos` postings; ONE exchange
+    * groups postings by window key under the bounded collect (buffers
+    * capped at [[SubstrMaxOcc]] longs even under a boilerplate flood,
+    * overflow ⇒ NULL ⇒ dropped — the [[graft.functions.BoundedCollectAgg]]
+    * df-cut, exact because (doc,pos) postings are distinct per key);
+    * keys held by ≥ 2 distinct docs explode back to duplicated
+    * positions; a per-doc window pass (exchange keyed by doc_id —
+    * doc-sized partitions) merges overlapping/adjacent windows
+    * (gap ≤ k) into maximal spans via the gaps-and-islands running sum.
+    * No driver collect anywhere; every stage is bounded.
+    *
+    * Ref analog: the reference dedups at whole-artifact granularity via
+    * content hashes (its span fixtures pin extraction, not dedup); this
+    * operator is the corpus-curation sibling the north rule's
+    * training-data pipeline needs (Lee et al. 2022's ExactSubstr,
+    * re-expressed as two bounded exchanges instead of a suffix array).
+    */
+  def exactSubstrSpans(spark: SparkSession, docs: DataFrame,
+                       k: Int = SubstrK, maxOcc: Int = SubstrMaxOcc): DataFrame = {
+    import spark.implicits._
+    val words = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= k && size($"ws") < SubstrPosMod)
+    val occ = words
+      .select($"doc_id", $"ws", explode(expr(s"sequence(0, size(ws) - $k)")).as("p"))
+      .select(
+        Hashing.md5iCol(concat_ws(" ", expr(s"slice(ws, p + 1, $k)"))).as("key"),
+        ($"doc_id" * SubstrPosMod + $"p").as("pk"))
+    val dupPos = occ.groupBy($"key")
+      .agg(graft.functions.BoundedCollectAgg.column($"pk", maxOcc).as("occs"))
+      .filter($"occs".isNotNull && size($"occs") >= 2)
+      .filter(expr(s"size(array_distinct(transform(occs, o -> o div $SubstrPosMod))) >= 2"))
+      .select(explode($"occs").as("pk"))
+      .select(expr(s"pk div $SubstrPosMod").as("doc_id"),
+        expr(s"pk % $SubstrPosMod").as("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    dupPos
+      .withColumn("brk",
+        when($"p" - lag($"p", 1).over(byDoc) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("g", sum($"brk").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"p").as("span_start"),
+        (max($"p") + k - min($"p")).as("span_len"))
+      .select($"doc_id", $"span_start", $"span_len")
+      .orderBy($"doc_id", $"span_start")
+  }
 }

@@ -229,6 +229,65 @@ object PixelOps {
     val rw = gifRatioW(ref); val rh = gifRatioH(ref)
     val indexed = ruleGifIndexed(ref, TileSize * rw, TileSize * rh)
     val dec = GifKernel.toRgb(GifKernel.decodeGif(GifKernel.encodeGif(indexed)))
+    partsOf(ref, dec, rw, rh)
+  }
+
+  /** Driver query: GIF media subset, one row per (item, part). */
+  def gifPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    gifPixelPartsBy(spark, docs, processGif)
+
+  /** Interlaced codec gate: the SAME rule frames as [[processGif]] but
+    * transmitted in the GIF89a 4-pass interlace row order — after the
+    * decoder's de-interlace scatter the pixel parts must hash-equal the
+    * progressive-scan path verbatim (the mm_jpeg_prog pattern), so any
+    * row-permutation bug hash-fails against the mm_gif_pixels oracle.
+    */
+  def processGifInterlaced(ref: String): Seq[PixelPart] = {
+    import graft.vision.GifKernel
+    val rw = gifRatioW(ref); val rh = gifRatioH(ref)
+    val indexed = ruleGifIndexed(ref, TileSize * rw, TileSize * rh)
+    val dec = GifKernel.toRgb(GifKernel.decodeGif(
+      GifKernel.encodeGif(indexed, interlaced = true)))
+    partsOf(ref, dec, rw, rh)
+  }
+
+  /** 4-bit rule: idx(x,y) = (3x + 5y + s) mod 16, s = md5i("gc|ref")
+    * mod 251 — a 16-color palette image, the dominant shape of real web
+    * GIFs (spec min code sizes 2..8; most crawl GIFs are < 256 colors).
+    */
+  def ruleGifIndexed16(ref: String, w: Int, h: Int): graft.vision.GifKernel.Indexed = {
+    val s = (Hashing.md5i(s"gc|$ref") % 251L).toInt
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((3 * x + 5 * y + s) % 16).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.vision.GifKernel.Indexed(w, h, idx, gifPalette)
+  }
+
+  /** Small-code gate: 16-color rule frames through 4-bit LZW codes AND
+    * interlace simultaneously — the variable-code-width path the fixed
+    * 8-bit gate cannot reach (codes start at 5 bits, widen through the
+    * table growth boundaries the 8-bit stream never crosses).
+    */
+  def processGifSmall(ref: String): Seq[PixelPart] = {
+    import graft.vision.GifKernel
+    val rw = gifRatioW(ref); val rh = gifRatioH(ref)
+    val indexed = ruleGifIndexed16(ref, TileSize * rw, TileSize * rh)
+    val dec = GifKernel.toRgb(GifKernel.decodeGif(
+      GifKernel.encodeGif(indexed, minCode = 4, interlaced = true)))
+    partsOf(ref, dec, rw, rh)
+  }
+
+  /** Shared tail of every GIF gate: resize + tile + letterbox +
+    * checksums over an already-decoded frame.
+    */
+  private def partsOf(ref: String, dec: PixelKernel.Rgb, rw: Int, rh: Int): Seq[PixelPart] = {
     val ratioSized = PixelKernel.resizeBicubic(dec, TileSize * rw, TileSize * rh)
     val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
     val global = PixelKernel.buildGlobalView(dec, BaseSize)
@@ -240,8 +299,14 @@ object PixelOps {
       PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
   }
 
-  /** Driver query: GIF media subset, one row per (item, part). */
-  def gifPixelParts(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def gifInterlacePixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    gifPixelPartsBy(spark, docs, processGifInterlaced)
+
+  def gifSmallPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    gifPixelPartsBy(spark, docs, processGifSmall)
+
+  private def gifPixelPartsBy(spark: SparkSession, docs: DataFrame,
+                              f: String => Seq[PixelPart]): DataFrame = {
     import spark.implicits._
     val id = col("doc_id").cast("string")
     val refs = docs.select(explode(
@@ -253,7 +318,7 @@ object PixelOps {
         .otherwise(array().cast("array<string>"))).as("media_ref"))
       .filter(Hashing.md5iCol(concat(lit("gxs|"), col("media_ref")))
         % SubsetMod === 0L)
-    refs.as[String].mapPartitions(_.flatMap(processGif)).toDF()
+    refs.as[String].mapPartitions(_.flatMap(f)).toDF()
   }
 
   // ---------------------------------------------- JPEG pixels

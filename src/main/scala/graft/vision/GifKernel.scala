@@ -4,11 +4,13 @@ package graft.vision
   * header-parsed (MediaOps.MediaHeaders.gif synthesizes the 13-byte
   * header; this decodes/encodes whole frames). Palette-indexed: encode
   * takes an index raster plus a 256-entry RGB palette and compresses
-  * with GIF's variable-code-width LZW (min code size 8 → 9..12-bit
-  * codes, CLEAR/EOI control codes, 4096-entry dictionary with reset on
-  * overflow, LSB-first bit packing, ≤255-byte data sub-blocks); decode
-  * inverts it, tolerating 87a/89a headers and skipping extension
-  * blocks. Pure JVM, no codec jar — the GIF sibling of the PNG
+  * with GIF's variable-code-width LZW (min code sizes 2..8 →
+  * 3..12-bit codes, CLEAR/EOI control codes, 4096-entry dictionary
+  * with reset on overflow, LSB-first bit packing, ≤255-byte data
+  * sub-blocks), optionally in the 4-pass GIF89a interlace row order;
+  * decode inverts it, tolerating 87a/89a headers, skipping extension
+  * blocks, de-interlacing, and honoring a local color table over the
+  * global one. Pure JVM, no codec jar — the GIF sibling of the PNG
   * Inflater path (PixelKernel.decodePng). Ref analog: the `image`
   * crate's GIF support behind image::open
   * (/root/reference/crates/cli/src/app.rs:95-101).
@@ -41,16 +43,19 @@ object GifKernel {
   }
 
   private val MinCodeSize = 8
-  private val ClearCode = 1 << MinCodeSize // 256
-  private val EoiCode = ClearCode + 1      // 257
   private val MaxDict = 4096
 
-  /** GIF-variant LZW compress of the index stream. */
-  private def lzwEncode(idx: Array[Byte]): Array[Byte] = {
+  /** GIF-variant LZW compress of the index stream. The spec permits
+    * LZW minimum code sizes 2..8 (GIF87a appendix F); every index must
+    * fit in `minCode` bits.
+    */
+  private def lzwEncode(idx: Array[Byte], minCode: Int): Array[Byte] = {
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
     val out = new java.io.ByteArrayOutputStream()
     var bitBuf = 0L
     var bitCnt = 0
-    var codeSize = MinCodeSize + 1
+    var codeSize = minCode + 1
     def emit(code: Int): Unit = {
       bitBuf |= code.toLong << bitCnt
       bitCnt += codeSize
@@ -62,8 +67,8 @@ object GifKernel {
     }
     // dictionary: (prefix code, next byte) -> code
     var dict = new java.util.HashMap[Integer, Integer]()
-    var nextCode = EoiCode + 1
-    emit(ClearCode)
+    var nextCode = eoiCode + 1
+    emit(clearCode)
     var cur = idx(0) & 0xff
     var i = 1
     while (i < idx.length) {
@@ -83,31 +88,33 @@ object GifKernel {
           // is the first one the decoder reads at the wider size.
           if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
         } else {
-          emit(ClearCode)
+          emit(clearCode)
           dict = new java.util.HashMap[Integer, Integer]()
-          nextCode = EoiCode + 1
-          codeSize = MinCodeSize + 1
+          nextCode = eoiCode + 1
+          codeSize = minCode + 1
         }
         cur = b
       }
       i += 1
     }
     emit(cur)
-    emit(EoiCode)
+    emit(eoiCode)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray
   }
 
   /** GIF-variant LZW decompress to exactly `n` indices. */
-  private def lzwDecode(data: Array[Byte], n: Int): Array[Byte] = {
+  private def lzwDecode(data: Array[Byte], n: Int, minCode: Int): Array[Byte] = {
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
     val out = new Array[Byte](n)
     var outPos = 0
     val prefix = new Array[Int](MaxDict)
     val suffix = new Array[Byte](MaxDict)
     var i = 0
-    while (i < ClearCode) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
-    var nextCode = EoiCode + 1
-    var codeSize = MinCodeSize + 1
+    while (i < clearCode) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    var nextCode = eoiCode + 1
+    var codeSize = minCode + 1
     var bitBuf = 0L
     var bitCnt = 0
     var bytePos = 0
@@ -130,11 +137,11 @@ object GifKernel {
         val code = (bitBuf & ((1L << codeSize) - 1)).toInt
         bitBuf >>>= codeSize
         bitCnt -= codeSize
-        if (code == ClearCode) {
-          nextCode = EoiCode + 1
-          codeSize = MinCodeSize + 1
+        if (code == clearCode) {
+          nextCode = eoiCode + 1
+          codeSize = minCode + 1
           prev = -1
-        } else if (code == EoiCode) done = true
+        } else if (code == eoiCode) done = true
         else {
           // expand `code` (or prev+first(prev) for the just-assigned case)
           var sp = 0
@@ -164,8 +171,35 @@ object GifKernel {
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
-  /** Encode a single-frame GIF89a with a 256-entry global color table. */
-  def encodeGif(img: Indexed): Array[Byte] = {
+  /** GIF89a interlace passes: (first row, row step) in transmission
+    * order — rows 0,8,16…, then 4,12…, then 2,6…, then 1,3,5….
+    */
+  private val InterlacePasses = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** Row order in which an interlaced frame is transmitted. */
+  private def interlaceRowOrder(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var o = 0
+    for ((start, step) <- InterlacePasses) {
+      var r = start
+      while (r < h) { order(o) = r; o += 1; r += step }
+    }
+    order
+  }
+
+  /** Encode a single-frame GIF89a with a 256-entry global color table.
+    * `minCode` is the LZW minimum code size (spec range 2..8; every
+    * index must fit in `minCode` bits); `interlaced` transmits rows in
+    * the 4-pass GIF89a interlace order and sets the descriptor flag.
+    */
+  def encodeGif(img: Indexed, minCode: Int = MinCodeSize,
+                interlaced: Boolean = false): Array[Byte] = {
+    require(minCode >= 2 && minCode <= 8, s"min code size $minCode out of spec range 2..8")
+    if (minCode < 8) {
+      val limit = 1 << minCode
+      require(img.idx.forall(b => (b & 0xff) < limit),
+        s"palette index out of range for $minCode-bit codes")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(img.w)); out.write(le16(img.h))
@@ -176,9 +210,21 @@ object GifKernel {
     out.write(0x2c) // image descriptor
     out.write(le16(0)); out.write(le16(0))
     out.write(le16(img.w)); out.write(le16(img.h))
-    out.write(0) // no local table, not interlaced
-    out.write(MinCodeSize)
-    val lzw = lzwEncode(img.idx)
+    out.write(if (interlaced) 0x40 else 0) // no local table; interlace flag
+    out.write(minCode)
+    val pixels =
+      if (!interlaced) img.idx
+      else {
+        val permuted = new Array[Byte](img.idx.length)
+        val order = interlaceRowOrder(img.h)
+        var o = 0
+        while (o < img.h) {
+          System.arraycopy(img.idx, order(o) * img.w, permuted, o * img.w, img.w)
+          o += 1
+        }
+        permuted
+      }
+    val lzw = lzwEncode(pixels, minCode)
     var off = 0
     while (off < lzw.length) {
       val len = math.min(255, lzw.length - off)
@@ -191,18 +237,22 @@ object GifKernel {
     out.toByteArray
   }
 
-  /** Decode a single-frame GIF (87a or 89a), skipping extensions. */
+  /** Decode a single-frame GIF (87a or 89a), skipping extensions.
+    * Handles LZW min code sizes 2..8, the 4-pass GIF89a interlace, and
+    * a local color table (which overrides the global palette, per spec).
+    */
   def decodeGif(bytes: Array[Byte]): Indexed = {
     require(bytes.length > 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F', "not a GIF")
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val packed = bytes(10) & 0xff
-    require((packed & 0x80) != 0, "global color table required")
-    val tableSize = 2 << (packed & 0x07)
     var pos = 13
     val palette = new Array[Byte](768)
-    System.arraycopy(bytes, pos, palette, 0, math.min(tableSize * 3, 768))
-    pos += tableSize * 3
+    if ((packed & 0x80) != 0) {
+      val tableSize = 2 << (packed & 0x07)
+      System.arraycopy(bytes, pos, palette, 0, math.min(tableSize * 3, 768))
+      pos += tableSize * 3
+    }
     // skip extension blocks (0x21 label, then length-prefixed sub-blocks)
     while ((bytes(pos) & 0xff) == 0x21) {
       pos += 2
@@ -216,10 +266,16 @@ object GifKernel {
     require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
       s"implausible raster ${w}x$h")
     val localPacked = bytes(pos + 9) & 0xff
+    val interlaced = (localPacked & 0x40) != 0
     pos += 10
-    if ((localPacked & 0x80) != 0) pos += (2 << (localPacked & 0x07)) * 3
+    if ((localPacked & 0x80) != 0) {
+      val localSize = 2 << (localPacked & 0x07)
+      java.util.Arrays.fill(palette, 0.toByte)
+      System.arraycopy(bytes, pos, palette, 0, math.min(localSize * 3, 768))
+      pos += localSize * 3
+    } else require((packed & 0x80) != 0, "no global or local color table")
     val minCode = bytes(pos) & 0xff
-    require(minCode == MinCodeSize, s"unsupported min code size $minCode")
+    require(minCode >= 2 && minCode <= 8, s"unsupported min code size $minCode")
     pos += 1
     val lzw = new java.io.ByteArrayOutputStream()
     var len = bytes(pos) & 0xff
@@ -228,6 +284,20 @@ object GifKernel {
       pos += 1 + len
       len = bytes(pos) & 0xff
     }
-    Indexed(w, h, lzwDecode(lzw.toByteArray, w * h), palette)
+    val raw = lzwDecode(lzw.toByteArray, w * h, minCode)
+    val idx =
+      if (!interlaced) raw
+      else {
+        // transmitted rows are in pass order — scatter them back
+        val out = new Array[Byte](raw.length)
+        val order = interlaceRowOrder(h)
+        var o = 0
+        while (o < h) {
+          System.arraycopy(raw, o * w, out, order(o) * w, w)
+          o += 1
+        }
+        out
+      }
+    Indexed(w, h, idx, palette)
   }
 }

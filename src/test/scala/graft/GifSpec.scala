@@ -82,6 +82,142 @@ class GifSpec extends AnyFunSuite {
     assert(e.getMessage.contains("implausible raster"))
   }
 
+  test("interlaced encode decodes to the identical raster (all grids + random)") {
+    val rng = new scala.util.Random(11)
+    for (rw <- 1 to 2; rh <- 1 to 2) {
+      val img = PixelOps.ruleGifIndexed(s"img://$rw$rh/0", 16 * rw, 16 * rh)
+      val dec = GifKernel.decodeGif(GifKernel.encodeGif(img, interlaced = true))
+      assert(java.util.Arrays.equals(dec.idx, img.idx), s"interlace scramble at ${rw}x$rh")
+    }
+    // heights that exercise every pass-boundary shape (h < 8 skips
+    // passes; odd heights end mid-pass)
+    for (h <- Seq(1, 2, 3, 5, 7, 8, 9, 31, 64)) {
+      val idx = Array.fill(17 * h)(rng.nextInt(256).toByte)
+      val img = Indexed(17, h, idx, PixelOps.gifPalette)
+      val dec = GifKernel.decodeGif(GifKernel.encodeGif(img, interlaced = true))
+      assert(java.util.Arrays.equals(dec.idx, idx), s"interlace scramble at h=$h")
+    }
+  }
+
+  test("min code sizes 2..8 round trip, straight and interlaced") {
+    val rng = new scala.util.Random(13)
+    for (mcs <- 2 to 8; interlaced <- Seq(false, true)) {
+      val limit = 1 << mcs
+      val idx = Array.fill(40 * 23)(rng.nextInt(limit).toByte)
+      val img = Indexed(40, 23, idx, PixelOps.gifPalette)
+      val dec = GifKernel.decodeGif(GifKernel.encodeGif(img, mcs, interlaced))
+      assert(java.util.Arrays.equals(dec.idx, idx), s"mcs=$mcs interlaced=$interlaced")
+    }
+    // out-of-range index for the code size is a structured failure
+    val bad = Indexed(2, 2, Array[Byte](0, 1, 2, 8), PixelOps.gifPalette)
+    intercept[IllegalArgumentException] { GifKernel.encodeGif(bad, minCode = 3) }
+    intercept[IllegalArgumentException] { GifKernel.encodeGif(bad, minCode = 1) }
+  }
+
+  test("cross-decoder parity: ImageIO reads our interlaced + 4-bit GIFs") {
+    val rng = new scala.util.Random(17)
+    for ((mcs, interlaced) <- Seq((8, true), (4, false), (4, true), (2, true))) {
+      val limit = 1 << mcs
+      val w = 31; val h = 19
+      val idx = Array.fill(w * h)(rng.nextInt(limit).toByte)
+      val img = Indexed(w, h, idx, PixelOps.gifPalette)
+      val bytes = GifKernel.encodeGif(img, mcs, interlaced)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+      val ours = GifKernel.toRgb(img)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff) == (ours.data(o) & 0xff) &&
+               ((rgb >> 8) & 0xff) == (ours.data(o + 1) & 0xff) &&
+               (rgb & 0xff) == (ours.data(o + 2) & 0xff),
+          s"pixel ($x,$y) differs vs ImageIO at mcs=$mcs interlaced=$interlaced")
+      }
+    }
+  }
+
+  test("cross-decoder parity: our decoder reads ImageIO-written GIFs") {
+    // 16-color indexed image → the JDK GIF writer picks its own code
+    // size / table layout; our decode must land on the same RGB pixels
+    val pal = new Array[Byte](768)
+    for (i <- 0 until 16) {
+      pal(i * 3) = (i * 16).toByte
+      pal(i * 3 + 1) = ((i * 7) % 256).toByte
+      pal(i * 3 + 2) = ((255 - i * 13) % 256).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      pal.grouped(3).map(_(0)).toArray.take(16),
+      pal.grouped(3).map(_(1)).toArray.take(16),
+      pal.grouped(3).map(_(2)).toArray.take(16))
+    val w = 37; val h = 21
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cm)
+    val rng = new scala.util.Random(23)
+    val expect = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = rng.nextInt(16)
+      expect(y * w + x) = i
+      bi.getRaster.setSample(x, y, 0, i)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos), "JDK GIF writer unavailable")
+    val dec = GifKernel.decodeGif(bos.toByteArray)
+    assert(dec.w == w && dec.h == h)
+    val rgb = GifKernel.toRgb(dec)
+    for (y <- 0 until h; x <- 0 until w) {
+      val jdk = bi.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((jdk >> 16) & 0xff) == (rgb.data(o) & 0xff) &&
+             ((jdk >> 8) & 0xff) == (rgb.data(o + 1) & 0xff) &&
+             (jdk & 0xff) == (rgb.data(o + 2) & 0xff),
+        s"pixel ($x,$y) differs decoding the JDK writer's stream")
+    }
+  }
+
+  test("local color table overrides the global palette") {
+    val img = Indexed(4, 2, Array[Byte](0, 1, 2, 3, 3, 2, 1, 0), PixelOps.gifPalette)
+    val base = GifKernel.encodeGif(img, minCode = 2)
+    val desc = 13 + 768
+    assert((base(desc) & 0xff) == 0x2c)
+    // rewrite the descriptor to carry a 4-entry local table (packed
+    // 0x81: local flag + size bits 1 → 2<<1 entries), spliced after it
+    val local = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val out = base.clone()
+    out(desc + 9) = 0x81.toByte
+    val spliced = out.slice(0, desc + 10) ++ local ++ out.drop(desc + 10)
+    val dec = GifKernel.decodeGif(spliced)
+    assert(java.util.Arrays.equals(dec.idx, img.idx))
+    for (i <- 0 until 12) assert((dec.palette(i) & 0xff) == local(i),
+      s"local table entry $i not honored")
+    for (i <- 12 until 768) assert(dec.palette(i) == 0, "tail not zeroed")
+  }
+
+  test("interlaced small-code gate matches the straight 8-bit pipeline shape") {
+    val ref = "img://0/0"
+    val a = PixelOps.processGifInterlaced(ref)
+    val b = PixelOps.processGif(ref)
+    assert(a == b, "interlaced parts must equal straight-scan parts")
+    val small = PixelOps.processGifSmall(ref)
+    assert(small.length == b.length && small.map(_.part) == b.map(_.part))
+  }
+
+  test("fuzz: interlaced + small-code streams also terminate structurally") {
+    val rng = new scala.util.Random(47)
+    val valid = GifKernel.encodeGif(
+      PixelOps.ruleGifIndexed16("img://9/0", 32, 32), minCode = 4, interlaced = true)
+    for (trial <- 0 until 200) {
+      val bytes = trial % 2 match {
+        case 0 =>
+          val b = valid.clone()
+          b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+          b
+        case _ => java.util.Arrays.copyOf(valid, rng.nextInt(valid.length) + 1)
+      }
+      try GifKernel.decodeGif(bytes)
+      catch { case _: RuntimeException => () }
+    }
+  }
+
   test("toRgb expands through the palette exactly") {
     val img = Indexed(2, 1, Array[Byte](0, 255.toByte), PixelOps.gifPalette)
     val rgb = GifKernel.toRgb(img)

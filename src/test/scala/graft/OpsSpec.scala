@@ -65,6 +65,45 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // blocked: (1,4) not compared
   }
 
+  test("exact-substring spans: maximal cross-doc runs, merged and split correctly") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"c$i").mkString(" ")   // 12-word shared run
+    val far = (1 to 20).map(i => s"u$i").mkString(" ")      // > k separator
+    val docs = Seq(
+      (1L, s"$shared $far $shared"),                 // two islands, gap > k
+      (2L, s"x1 x2 x3 $shared"),                     // one island at offset 3
+      (3L, "only unique words live here nothing shared at all with others"),
+      (4L, "rep rep rep rep rep rep rep rep rep rep")) // within-doc only
+      .toDF("doc_id", "text")
+    val spans = DedupOps.exactSubstrSpans(spark, docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: words 0..11 and 32..43 duplicated (12+20+12 words total);
+    // doc 2: words 3..14; doc 3 nothing; doc 4 repeats only within itself
+    assert(spans == Set((1L, 0L, 12L), (1L, 32L, 12L), (2L, 3L, 12L)))
+  }
+
+  test("exact-substring spans: adjacent windows merge; viral windows are cut") {
+    import spark.implicits._
+    // shared run of 9 words with k=8 → duplicated positions 0,1 merge
+    // into ONE maximal span of 9
+    val run9 = (1 to 9).map(i => s"m$i").mkString(" ")
+    val merged = DedupOps.exactSubstrSpans(spark,
+      Seq((1L, run9), (2L, run9)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == Set((1L, 0L, 9L), (2L, 0L, 9L)))
+    // the same 3-word window in 3 docs with maxOcc=2 → viral, dropped
+    val viral = DedupOps.exactSubstrSpans(spark,
+      Seq((1L, "v1 v2 v3"), (2L, "v1 v2 v3"), (3L, "v1 v2 v3"))
+        .toDF("doc_id", "text"), k = 3, maxOcc = 2)
+    assert(viral.count() == 0L)
+    // at maxOcc=3 the same corpus yields one span per doc
+    val kept = DedupOps.exactSubstrSpans(spark,
+      Seq((1L, "v1 v2 v3"), (2L, "v1 v2 v3"), (3L, "v1 v2 v3"))
+        .toDF("doc_id", "text"), k = 3, maxOcc = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kept == Set((1L, 0L, 3L), (2L, 0L, 3L), (3L, 0L, 3L)))
+  }
+
   test("embedding near-dup + topk: LSH-bucketed candidates, exact cosine verify") {
     import spark.implicits._
     val emb = Seq(
