@@ -747,6 +747,15 @@ object SparkEntry {
     "mm_gif_small" -> ((s, dir) =>
       graft.operators.PixelOps.gifSmallPixelParts(s, t(s, dir, "documents"))),
 
+    // REAL animated-GIF frame sampling (upgrades the mm_frames metadata
+    // stub to a real codec path): multi-frame GIF89a with sub-rectangle
+    // patch frames, per-pixel transparency, per-frame interlace, and
+    // graphic-control extensions — decoded by compositing onto the
+    // logical screen, every 3rd canvas checksummed. The oracle replays
+    // "last opaque writer ≤ f per pixel" in closed form.
+    "mm_gif_frames" -> ((s, dir) =>
+      graft.operators.PixelOps.gifFramesParts(s, t(s, dir, "documents"))),
+
     // Real baseline JPEG decode (canonical Huffman per T.81 Annex C/F,
     // byte unstuffing, restart markers, dequant + exact IDCT — pure JVM
     // like the PNG/GIF paths) feeding the SAME resize/tile/letterbox/
@@ -2626,6 +2635,58 @@ object SparkEntry {
     // Small-code gate: 16-color frames through 4-bit LZW codes AND
     // interlace; the oracle replays the mod-16 rule.
     "mm_gif_small" -> mmGifOracleSql("gc", 16),
+
+    // Animated-GIF replay: frame 0 = the full-canvas mod-256 rule;
+    // patch g ≥ 1 = an 8×8 rect at ((3g)%(w-8),(5g)%(h-8)) with rule
+    // (7x'+3y'+s+17g) mod 255, transparent where (x'+y'+g)%3=0. The
+    // canvas at sampled frame f shows, per pixel, the LAST opaque
+    // writer among g ≤ f (arg_max) — base rule where no patch wrote.
+    "mm_gif_frames" ->
+      s"""WITH refs AS (
+         |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+         |meta AS (
+         |  SELECT media_ref,
+         |    16*(${md5iSql("'grw|' || media_ref")} % 2 + 1)::BIGINT AS sw,
+         |    16*(${md5iSql("'grh|' || media_ref")} % 2 + 1)::BIGINT AS sh,
+         |    (${md5iSql("'gx|' || media_ref")} % 251)::BIGINT AS s,
+         |    (${md5iSql("'gf|' || media_ref")} % 4 + 5)::BIGINT AS nf
+         |  FROM refs
+         |  WHERE ${md5iSql("'gxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+         |sf AS (
+         |  SELECT m.*, fr.f FROM meta m,
+         |    LATERAL (SELECT unnest(generate_series(0, m.nf - 1,
+         |      ${graft.operators.PixelOps.FrameSampleStep})) AS f) fr),
+         |grid AS (
+         |  SELECT s.media_ref, s.f, s.s, s.sw, s.sh, gx.x, gy.y
+         |  FROM sf s,
+         |    LATERAL (SELECT unnest(generate_series(0, s.sw - 1)) AS x) gx,
+         |    LATERAL (SELECT unnest(generate_series(0, s.sh - 1)) AS y) gy),
+         |cand AS (
+         |  SELECT media_ref, f, sw, sh, x, y, gg.g,
+         |    CASE WHEN gg.g = 0 THEN (3*x + 5*y + s) % 256
+         |         ELSE (7*(x - (gg.g*3) % (sw-8)) + 3*(y - (gg.g*5) % (sh-8))
+         |               + s + 17*gg.g) % 255 END AS val
+         |  FROM grid,
+         |    LATERAL (SELECT unnest(generate_series(0, f)) AS g) gg
+         |  WHERE gg.g = 0 OR (
+         |    x >= (gg.g*3) % (sw-8) AND x < (gg.g*3) % (sw-8) + 8 AND
+         |    y >= (gg.g*5) % (sh-8) AND y < (gg.g*5) % (sh-8) + 8 AND
+         |    ((x - (gg.g*3) % (sw-8)) + (y - (gg.g*5) % (sh-8)) + gg.g) % 3 != 0)),
+         |sel AS (
+         |  SELECT media_ref, f, sw, sh, x, y, arg_max(val, g) AS idx
+         |  FROM cand GROUP BY media_ref, f, sw, sh, x, y),
+         |chan AS (
+         |  SELECT media_ref, f, sw, sh, x, y, cc.c,
+         |    CASE cc.c WHEN 0 THEN idx WHEN 1 THEN (7*idx+11) % 256
+         |              ELSE (13*idx+17) % 256 END AS val
+         |  FROM sel, (SELECT unnest([0,1,2]) AS c) cc)
+         |SELECT media_ref, 'frame_' || f AS part,
+         |  sw::BIGINT AS width, sh::BIGINT AS height,
+         |  CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+         |  CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+         |FROM chan GROUP BY media_ref, f, sw, sh""".stripMargin,
 
     // Audio rule replay: quadratic PCM rule regenerated per sample,
     // grouped into 8000-sample windows, integer energy.

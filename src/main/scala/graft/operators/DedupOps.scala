@@ -515,6 +515,5 @@ object DedupOps {
       .agg(min($"p").as("span_start"),
         (max($"p") + k - min($"p")).as("span_len"))
       .select($"doc_id", $"span_start", $"span_len")
-      .orderBy($"doc_id", $"span_start")
   }
 }

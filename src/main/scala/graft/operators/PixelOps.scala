@@ -299,6 +299,78 @@ object PixelOps {
       PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
   }
 
+  // ------------------------------------------ animated GIF frames
+
+  /** Frames per animation: 5..8, keyed like every other per-ref knob. */
+  def gifFrameCount(ref: String): Int = (Hashing.md5i(s"gf|$ref") % 4L + 5L).toInt
+
+  /** Every 3rd composited frame is sampled (0, 3, 6). */
+  val FrameSampleStep = 3
+
+  /** Animated patches are 8×8 sub-rectangles. */
+  val AnimPatch = 8
+
+  /** Patch rule for animation frame g ≥ 1 at local coords (x', y'):
+    * transparent (palette index 255) where (x'+y'+g) mod 3 == 0, else
+    * opaque (7x' + 3y' + s + 17g) mod 255 — the mod-255 range keeps
+    * opaque values disjoint from the transparent index, so transparency
+    * semantics are decided by the RULE, never by collision.
+    */
+  private def animPatch(s: Int, g: Int): Array[Byte] = {
+    val idx = new Array[Byte](AnimPatch * AnimPatch)
+    var y = 0
+    while (y < AnimPatch) {
+      var x = 0
+      while (x < AnimPatch) {
+        idx(y * AnimPatch + x) =
+          if ((x + y + g) % 3 == 0) 255.toByte
+          else ((7 * x + 3 * y + s + 17 * g) % 255).toByte
+        x += 1
+      }
+      y += 1
+    }
+    idx
+  }
+
+  private def animPatchX(g: Int, w: Int): Int = (g * 3) % (w - AnimPatch)
+  private def animPatchY(g: Int, h: Int): Int = (g * 5) % (h - AnimPatch)
+
+  /** REAL animated-GIF frame sampling: frame 0 is the full-canvas
+    * [[ruleGifIndexed]] base; frames 1..F-1 are 8×8 sub-rectangle
+    * patches at rule offsets with per-pixel transparency (index 255)
+    * and per-frame interlace (odd frames), all encoded through the real
+    * multi-frame GIF89a writer (graphic-control extensions, NETSCAPE
+    * loop block) and decoded back by compositing onto the logical
+    * screen. Every 3rd composited canvas is checksummed — the oracle
+    * replays "last opaque writer ≤ f per pixel" in closed form, so a
+    * bug in sub-rect scatter, transparency, GCE parsing, or per-frame
+    * interlace hash-fails.
+    */
+  def processGifFrames(ref: String): Seq[PixelPart] = {
+    import graft.vision.GifKernel
+    val rw = gifRatioW(ref); val rh = gifRatioH(ref)
+    val w = TileSize * rw; val h = TileSize * rh
+    val s = (Hashing.md5i(s"gx|$ref") % 251L).toInt
+    val base = ruleGifIndexed(ref, w, h)
+    val nFrames = gifFrameCount(ref)
+    val frames = GifKernel.AnimFrame(0, 0, w, h, base.idx) +:
+      (1 until nFrames).map { g =>
+        GifKernel.AnimFrame(animPatchX(g, w), animPatchY(g, h),
+          AnimPatch, AnimPatch, animPatch(s, g),
+          interlaced = g % 2 == 1, transparentIdx = Some(255))
+      }
+    val bytes = GifKernel.encodeGifAnim(w, h, gifPalette, frames)
+    val composited = GifKernel.decodeGifAnim(bytes)
+    (0 until nFrames by FrameSampleStep).map { f =>
+      val rgb = GifKernel.toRgb(composited(f))
+      PixelPart(ref, s"frame_$f", w.toLong, h.toLong,
+        PixelKernel.pixelChecksum(rgb), PixelKernel.normChecksum(rgb))
+    }
+  }
+
+  def gifFramesParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    gifPixelPartsBy(spark, docs, processGifFrames)
+
   def gifInterlacePixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
     gifPixelPartsBy(spark, docs, processGifInterlaced)
 

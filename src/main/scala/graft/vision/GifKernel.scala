@@ -237,6 +237,190 @@ object GifKernel {
     out.toByteArray
   }
 
+  /** One frame of an animated GIF: a sub-rectangle of the logical
+    * screen at (left, top), its own index raster, optionally interlaced
+    * on the wire, optionally transparent at one palette index (those
+    * pixels leave the canvas untouched), with a GIF89a disposal method
+    * (0/1 = leave canvas, 2 = restore rect to background after display).
+    */
+  final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
+                             idx: Array[Byte], interlaced: Boolean = false,
+                             transparentIdx: Option[Int] = None,
+                             disposal: Int = 1, delayCs: Int = 4) {
+    require(w > 0 && h > 0 && idx.length == w * h, "frame raster must be w*h")
+    require(left >= 0 && top >= 0, "frame offset must be non-negative")
+    require(disposal >= 0 && disposal <= 2, s"unsupported disposal $disposal")
+  }
+
+  /** Encode a multi-frame animated GIF89a: logical screen + global
+    * palette, NETSCAPE looping extension, then per frame a
+    * graphic-control extension (delay, disposal, transparency) and a
+    * sub-rectangle image descriptor. Frames may interlace individually.
+    */
+  def encodeGifAnim(screenW: Int, screenH: Int, palette: Array[Byte],
+                    frames: Seq[AnimFrame], minCode: Int = MinCodeSize): Array[Byte] = {
+    require(palette.length == 768, "palette must be 256 RGB entries")
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach { f =>
+      require(f.left + f.w <= screenW && f.top + f.h <= screenH,
+        s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) exceeds ${screenW}x$screenH")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(screenW)); out.write(le16(screenH))
+    out.write(0xf7); out.write(0); out.write(0)
+    out.write(palette)
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(le16(0)); out.write(0)
+    for (f <- frames) {
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparentIdx.isDefined) 1 else 0))
+      out.write(le16(f.delayCs))
+      out.write(f.transparentIdx.getOrElse(0))
+      out.write(0) // sub-block terminator
+      out.write(0x2c)
+      out.write(le16(f.left)); out.write(le16(f.top))
+      out.write(le16(f.w)); out.write(le16(f.h))
+      out.write(if (f.interlaced) 0x40 else 0)
+      out.write(minCode)
+      val pixels =
+        if (!f.interlaced) f.idx
+        else {
+          val permuted = new Array[Byte](f.idx.length)
+          val order = interlaceRowOrder(f.h)
+          var o = 0
+          while (o < f.h) {
+            System.arraycopy(f.idx, order(o) * f.w, permuted, o * f.w, f.w)
+            o += 1
+          }
+          permuted
+        }
+      val lzw = lzwEncode(pixels, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len)
+        out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode an animated GIF to the sequence of COMPOSITED full-canvas
+    * frames: each element is the logical screen as displayed after that
+    * frame — sub-rectangle frames are scattered onto the canvas,
+    * transparent pixels leave it untouched, and disposal 2 restores the
+    * frame's rect to the background index before the next frame.
+    * Compositing happens at palette-index level, so frames must share
+    * the global palette (a per-frame local table is a structured
+    * failure — the spec allows it, but index-level composition would
+    * silently mix palettes).
+    */
+  def decodeGifAnim(bytes: Array[Byte]): Seq[Indexed] = {
+    require(bytes.length > 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F', "not a GIF")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val screenW = u16(6); val screenH = u16(8)
+    require(screenW > 0 && screenH > 0 &&
+      screenW.toLong * screenH <= 64L * 1024 * 1024,
+      s"implausible screen ${screenW}x$screenH")
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "animated decode requires a global color table")
+    val bgIndex = bytes(11) & 0xff
+    val tableSize = 2 << (packed & 0x07)
+    var pos = 13
+    val palette = new Array[Byte](768)
+    System.arraycopy(bytes, pos, palette, 0, math.min(tableSize * 3, 768))
+    pos += tableSize * 3
+    val canvas = new Array[Byte](screenW * screenH)
+    java.util.Arrays.fill(canvas, bgIndex.toByte)
+    val frames = Seq.newBuilder[Indexed]
+    var transparentIdx = -1
+    var disposal = 0
+    var done = false
+    while (!done) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = bytes(pos + 1) & 0xff
+          if (label == 0xf9 && (bytes(pos + 2) & 0xff) >= 4) {
+            val gce = bytes(pos + 3) & 0xff
+            disposal = (gce >> 2) & 0x07
+            transparentIdx = if ((gce & 1) != 0) bytes(pos + 6) & 0xff else -1
+          }
+          pos += 2
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val left = u16(pos + 1); val top = u16(pos + 3)
+          val w = u16(pos + 5); val h = u16(pos + 7)
+          require(w > 0 && h > 0 && left + w <= screenW && top + h <= screenH,
+            s"frame rect ${w}x$h@($left,$top) exceeds ${screenW}x$screenH")
+          val localPacked = bytes(pos + 9) & 0xff
+          require((localPacked & 0x80) == 0,
+            "per-frame local color table unsupported in index-level animation compositing")
+          val interlaced = (localPacked & 0x40) != 0
+          pos += 10
+          val minCode = bytes(pos) & 0xff
+          require(minCode >= 2 && minCode <= 8, s"unsupported min code size $minCode")
+          pos += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var len = bytes(pos) & 0xff
+          while (len != 0) {
+            lzw.write(bytes, pos + 1, len)
+            pos += 1 + len
+            len = bytes(pos) & 0xff
+          }
+          pos += 1
+          val raw = lzwDecode(lzw.toByteArray, w * h, minCode)
+          val rect =
+            if (!interlaced) raw
+            else {
+              val o2 = new Array[Byte](raw.length)
+              val order = interlaceRowOrder(h)
+              var o = 0
+              while (o < h) {
+                System.arraycopy(raw, o * w, o2, order(o) * w, w)
+                o += 1
+              }
+              o2
+            }
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = rect(y * w + x) & 0xff
+              if (v != transparentIdx)
+                canvas((top + y) * screenW + left + x) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          frames += Indexed(screenW, screenH, canvas.clone(), palette)
+          if (disposal == 2) {
+            var ry = 0
+            while (ry < h) {
+              java.util.Arrays.fill(canvas, (top + ry) * screenW + left,
+                (top + ry) * screenW + left + w, bgIndex.toByte)
+              ry += 1
+            }
+          }
+          transparentIdx = -1
+          disposal = 0
+        case other =>
+          throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02x")
+      }
+    }
+    val out = frames.result()
+    require(out.nonEmpty, "no frames in animated GIF")
+    out
+  }
+
   /** Decode a single-frame GIF (87a or 89a), skipping extensions.
     * Handles LZW min code sizes 2..8, the 4-pass GIF89a interlace, and
     * a local color table (which overrides the global palette, per spec).

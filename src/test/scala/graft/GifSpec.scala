@@ -218,6 +218,119 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("animated: sub-rect patches composite with transparency; disposal 2 restores") {
+    import GifKernel.AnimFrame
+    val pal = PixelOps.gifPalette
+    val base = Array.fill(8 * 8)(1.toByte)
+    // patch: 2x2 at (3,4) writing 5, with index 9 transparent at (1,0)
+    val patch = Array[Byte](5, 9, 5, 5)
+    val bytes = GifKernel.encodeGifAnim(8, 8, pal, Seq(
+      AnimFrame(0, 0, 8, 8, base),
+      AnimFrame(3, 4, 2, 2, patch, transparentIdx = Some(9)),
+      AnimFrame(0, 0, 2, 2, Array[Byte](7, 7, 7, 7), disposal = 2),
+      AnimFrame(6, 6, 2, 2, Array[Byte](8, 8, 8, 8))))
+    val frames = GifKernel.decodeGifAnim(bytes)
+    assert(frames.length == 4)
+    // frame 0: all 1s
+    assert(frames(0).idx.forall(_ == 1))
+    // frame 1: patch written except the transparent pixel
+    val f1 = frames(1).idx
+    assert(f1(4 * 8 + 3) == 5 && f1(4 * 8 + 4) == 1 && f1(5 * 8 + 3) == 5 && f1(5 * 8 + 4) == 5)
+    // frame 2 shows the 7s; frame 3's canvas has that rect RESTORED to
+    // background (disposal 2) while the rest persists
+    assert(frames(2).idx(0) == 7)
+    val f3 = frames(3).idx
+    assert(f3(0) == 0 && f3(1) == 0 && f3(8) == 0, "disposal-2 rect not restored")
+    assert(f3(6 * 8 + 6) == 8 && f3(2) == 1 && f3(5 * 8 + 3) == 5)
+  }
+
+  test("animated: cross-decoder parity vs ImageIO on every composited frame") {
+    val ref = "img://0/0"
+    val rw = PixelOps.gifRatioW(ref); val rh = PixelOps.gifRatioH(ref)
+    val w = 16 * rw; val h = 16 * rh
+    val s = (graft.functions.Hashing.md5i(s"gx|$ref") % 251L).toInt
+    val base = PixelOps.ruleGifIndexed(ref, w, h)
+    val nf = PixelOps.gifFrameCount(ref)
+    val frames = GifKernel.AnimFrame(0, 0, w, h, base.idx) +:
+      (1 until nf).map { g =>
+        GifKernel.AnimFrame((g * 3) % (w - 8), (g * 5) % (h - 8), 8, 8,
+          Array.tabulate(64) { i =>
+            val x = i % 8; val y = i / 8
+            if ((x + y + g) % 3 == 0) 255.toByte
+            else ((7 * x + 3 * y + s + 17 * g) % 255).toByte
+          }, interlaced = g % 2 == 1, transparentIdx = Some(255))
+      }
+    val bytes = GifKernel.encodeGifAnim(w, h, PixelOps.gifPalette, frames)
+    val ours = GifKernel.decodeGifAnim(bytes)
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = rd.getNumImages(true)
+    assert(n == nf && ours.length == nf)
+    // composite ImageIO's per-frame rasters the same way (disposal 1)
+    val canvas = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = canvas.createGraphics()
+    for (f <- 0 until n) {
+      val md = rd.getImageMetadata(f).getAsTree("javax_imageio_gif_image_1.0")
+      val desc = {
+        val kids = md.getChildNodes
+        (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "ImageDescriptor").get.getAttributes
+      }
+      val left = desc.getNamedItem("imageLeftPosition").getNodeValue.toInt
+      val top = desc.getNamedItem("imageTopPosition").getNodeValue.toInt
+      gfx.drawImage(rd.read(f), left, top, null)
+      val mine = GifKernel.toRgb(ours(f))
+      for (y <- 0 until h; x <- 0 until w) {
+        val jdk = canvas.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((jdk >> 16) & 0xff) == (mine.data(o) & 0xff) &&
+               ((jdk >> 8) & 0xff) == (mine.data(o + 1) & 0xff) &&
+               (jdk & 0xff) == (mine.data(o + 2) & 0xff),
+          s"frame $f pixel ($x,$y) differs vs ImageIO composite")
+      }
+    }
+    gfx.dispose()
+  }
+
+  test("animated: local color table and bad blocks fail structurally; fuzz terminates") {
+    val rng = new scala.util.Random(59)
+    val base = PixelOps.ruleGifIndexed("img://3/0", 16, 16)
+    val valid = GifKernel.encodeGifAnim(16, 16, PixelOps.gifPalette,
+      Seq(GifKernel.AnimFrame(0, 0, 16, 16, base.idx),
+        GifKernel.AnimFrame(2, 2, 4, 4, Array.fill(16)(3.toByte))))
+    // rect exceeding the screen is rejected at encode
+    intercept[IllegalArgumentException] {
+      GifKernel.encodeGifAnim(16, 16, PixelOps.gifPalette,
+        Seq(GifKernel.AnimFrame(10, 10, 8, 8, Array.fill(64)(0.toByte))))
+    }
+    for (trial <- 0 until 200) {
+      val bytes = trial % 2 match {
+        case 0 =>
+          val b = valid.clone()
+          b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+          b
+        case _ => java.util.Arrays.copyOf(valid, rng.nextInt(valid.length) + 1)
+      }
+      try GifKernel.decodeGifAnim(bytes)
+      catch { case _: RuntimeException => () }
+    }
+  }
+
+  test("processGifFrames samples every 3rd composited frame") {
+    val ref = "img://0/0"
+    val parts = PixelOps.processGifFrames(ref)
+    val nf = PixelOps.gifFrameCount(ref)
+    assert(parts.map(_.part) ==
+      (0 until nf by PixelOps.FrameSampleStep).map(f => s"frame_$f"))
+    assert(parts.forall(p => p.pix_fp >= 0 && p.norm_fp >= 0))
+    // frame 0 equals the single-frame base rule checksum
+    val baseRgb = GifKernel.toRgb(PixelOps.ruleGifIndexed(ref,
+      parts.head.width.toInt, parts.head.height.toInt))
+    assert(parts.head.pix_fp == graft.vision.PixelKernel.pixelChecksum(baseRgb))
+  }
+
   test("toRgb expands through the palette exactly") {
     val img = Indexed(2, 1, Array[Byte](0, 255.toByte), PixelOps.gifPalette)
     val rgb = GifKernel.toRgb(img)
