@@ -636,6 +636,11 @@ object SparkEntry {
     // DedupOps.exactSubstrSpans).
     "dedup_substr" -> ((s, dir) =>
       DedupOps.exactSubstrSpans(s, t(s, dir, "documents"))),
+    // The curation ACTION over those spans: cut every duplicated run
+    // out of the text (one compact span-array join + a codegen'd HOF
+    // pass — no re-tokenize of the corpus; see DedupOps.exactSubstrCut).
+    "curate_substr" -> ((s, dir) =>
+      DedupOps.exactSubstrCut(s, t(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDupPairs(s, t(s, dir, "embeddings"))),
     // Multiprobe LSH: each band also probes its Hamming-1 neighbor
@@ -2278,6 +2283,46 @@ object SparkEntry {
          |SELECT doc_id::BIGINT AS doc_id, min(p)::BIGINT AS span_start,
          |  (max(p) + ${DedupOps.SubstrK} - min(p))::BIGINT AS span_len
          |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    // ExactSubstr CUT replay: the same span chain, then every covered
+    // word position is dropped and the remainder re-joined with single
+    // spaces; docs with no spans (or too short to window) pass through.
+    "curate_substr" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+         |  WHERE len(string_split(text,' ')) >= ${DedupOps.SubstrK}
+         |    AND len(string_split(text,' ')) < ${1L << DedupOps.SubstrPosBits}),
+         |occ AS (
+         |  SELECT w.doc_id, g.p,
+         |    ${md5iSql(s"concat_ws(' ', list_slice(w.ws, g.p+1, g.p+${DedupOps.SubstrK}))")} AS key
+         |  FROM words w,
+         |    LATERAL (SELECT unnest(generate_series(0, len(w.ws)-${DedupOps.SubstrK})) AS p) g),
+         |st AS (SELECT key, count(*) AS occs, count(DISTINCT doc_id) AS docs
+         |       FROM occ GROUP BY key),
+         |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN st ON st.key = o.key
+         |        WHERE st.docs >= 2 AND st.occs <= ${DedupOps.SubstrMaxOcc}),
+         |isl AS (SELECT doc_id, p,
+         |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |         <= ${DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
+         |grp AS (SELECT doc_id, p,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+         |spansq AS (SELECT doc_id, min(p) AS s,
+         |  max(p) + ${DedupOps.SubstrK} - min(p) AS l FROM grp GROUP BY doc_id, g),
+         |docw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |pos AS (SELECT d.doc_id, g.i, d.ws[g.i+1] AS w FROM docw d,
+         |  LATERAL (SELECT unnest(generate_series(0, len(d.ws)-1)) AS i) g),
+         |keep AS (SELECT p.doc_id, p.i, p.w FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spansq s WHERE s.doc_id = p.doc_id
+         |    AND p.i >= s.s AND p.i < s.s + s.l))
+         |SELECT d.doc_id::BIGINT AS doc_id,
+         |  coalesce(kc.txt, '') AS clean_text,
+         |  len(d.ws)::BIGINT AS n_words,
+         |  coalesce(sc.cut, 0)::BIGINT AS cut_words
+         |FROM docw d
+         |LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt
+         |           FROM keep GROUP BY doc_id) kc ON kc.doc_id = d.doc_id
+         |LEFT JOIN (SELECT doc_id, sum(l) AS cut FROM spansq GROUP BY doc_id) sc
+         |  ON sc.doc_id = d.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH n AS (

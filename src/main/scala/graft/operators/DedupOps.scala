@@ -516,4 +516,38 @@ object DedupOps {
         (max($"p") + k - min($"p")).as("span_len"))
       .select($"doc_id", $"span_start", $"span_len")
   }
+
+  /** The CURATION action over [[exactSubstrSpans]]: REMOVE every
+    * duplicated span from the text (Lee et al. 2022's ExactSubstr cut),
+    * emitting the cleaned document plus audit counts. Docs shorter than
+    * k words (which cannot carry a window) pass through untouched.
+    *
+    * Shape: spans collapse to one compact array row per affected doc
+    * (spans per doc are few and bounded — each consumes ≥ k distinct
+    * word positions), then ONE left join back to the corpus on doc_id
+    * and a codegen'd higher-order-function pass drops covered word
+    * positions — no second tokenize-explode of the corpus, no window
+    * re-pass, no driver collect.
+    */
+  def exactSubstrCut(spark: SparkSession, docs: DataFrame,
+                     k: Int = SubstrK, maxOcc: Int = SubstrMaxOcc): DataFrame = {
+    import spark.implicits._
+    val spanArrs = exactSubstrSpans(spark, docs, k, maxOcc)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_len")).as("spans"))
+    docs.select($"doc_id", $"text")
+      .join(spanArrs, Seq("doc_id"), "left")
+      .select($"doc_id",
+        split($"text", " ").as("ws"),
+        coalesce($"spans", array().cast(
+          "array<struct<span_start:bigint,span_len:bigint>>")).as("spans"))
+      .select($"doc_id",
+        expr("""concat_ws(' ', filter(ws, (w, i) ->
+                 !exists(spans, sp ->
+                   i >= sp.span_start AND i < sp.span_start + sp.span_len)))""")
+          .as("clean_text"),
+        size($"ws").cast("long").as("n_words"),
+        expr("CAST(aggregate(spans, 0L, (a, sp) -> a + sp.span_len) AS BIGINT)")
+          .as("cut_words"))
+  }
 }

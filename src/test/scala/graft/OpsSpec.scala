@@ -104,6 +104,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set((1L, 0L, 3L), (2L, 0L, 3L), (3L, 0L, 3L)))
   }
 
+  test("exact-substring cut: duplicated runs removed, counts audited, rest untouched") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"c$i").mkString(" ")
+    val far = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $far $shared"),
+      (2L, s"x1 x2 x3 $shared"),
+      (3L, "only unique words live here nothing shared at all with others"))
+      .toDF("doc_id", "text")
+    val cut = DedupOps.exactSubstrCut(spark, docs)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(cut(0) == ((1L, far, 44L, 24L)))          // both runs cut, middle kept
+    assert(cut(1) == ((2L, "x1 x2 x3", 15L, 12L)))   // prefix kept
+    assert(cut(2)._2.startsWith("only unique") && cut(2)._4 == 0L)
+  }
+
   test("embedding near-dup + topk: LSH-bucketed candidates, exact cosine verify") {
     import spark.implicits._
     val emb = Seq(
