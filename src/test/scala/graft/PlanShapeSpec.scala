@@ -212,4 +212,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
     assert(!p.contains("Join"), "as-of must not plan a join:\n" + p)
   }
+
+  test("gif codec gates: narrow per-row kernels, zero exchanges") {
+    for (q <- Seq("mm_gif_interlace", "mm_gif_small", "mm_gif_frames")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: " + p.linesIterator.take(3).mkString("|"))
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$q item derivation must read only doc_id")
+    }
+  }
+
+  test("dedup_substr: TWO exchanges only (window-key agg, per-doc islands)") {
+    val p = plan("dedup_substr")
+    // 1: postings into the bounded-collect by window key; 2: duplicated
+    // positions into the per-doc gaps-and-islands window. The final
+    // (doc_id, g) aggregate and span emission reuse the doc_id
+    // partitioning — no third exchange, and never a join.
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("Join"), "span discovery must not plan a join:\n" + p)
+    assert(p.contains("graft_bounded_collect"),
+      "candidate stage must ride the bounded collect")
+  }
 }
