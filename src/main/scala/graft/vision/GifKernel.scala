@@ -339,6 +339,12 @@ object GifKernel {
     pos += tableSize * 3
     val canvas = new Array[Byte](screenW * screenH)
     java.util.Arrays.fill(canvas, bgIndex.toByte)
+    // allocation sanity: every composited frame clones the canvas, so a
+    // crafted stream with thousands of descriptors must fail structured
+    // before the clones aggregate to multi-GB
+    val maxFrames = (256L * 1024 * 1024 / (screenW.toLong * screenH))
+      .min(4096L).toInt.max(1)
+    var frameCount = 0
     val frames = Seq.newBuilder[Indexed]
     var transparentIdx = -1
     var disposal = 0
@@ -401,6 +407,9 @@ object GifKernel {
             }
             y += 1
           }
+          frameCount += 1
+          require(frameCount <= maxFrames,
+            s"implausible animation: over $maxFrames frames at ${screenW}x$screenH")
           frames += Indexed(screenW, screenH, canvas.clone(), palette)
           if (disposal == 2) {
             var ry = 0

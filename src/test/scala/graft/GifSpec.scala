@@ -318,6 +318,19 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("animated: implausible frame counts fail structured before allocation") {
+    // 64x64 screen → cap is 256MiB/4096B = 65536, clamped to 4096 frames;
+    // splice the same 1x1 frame far past the cap and expect a structured
+    // failure, not a multi-GB clone pile
+    val base = PixelOps.ruleGifIndexed("img://7/0", 64, 64)
+    val one = GifKernel.AnimFrame(0, 0, 1, 1, Array[Byte](1))
+    val many = Seq.fill(4097)(one)
+    val bytes = GifKernel.encodeGifAnim(64, 64, PixelOps.gifPalette,
+      GifKernel.AnimFrame(0, 0, 64, 64, base.idx) +: many)
+    val e = intercept[IllegalArgumentException] { GifKernel.decodeGifAnim(bytes) }
+    assert(e.getMessage.contains("implausible animation"))
+  }
+
   test("processGifFrames samples every 3rd composited frame") {
     val ref = "img://0/0"
     val parts = PixelOps.processGifFrames(ref)
