@@ -1261,6 +1261,33 @@ object SparkEntry {
        |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
        |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin
 
+  /** Shared CTE chain of the ExactSubstr oracles (dedup_substr selects
+    * spans straight off it; curate_substr extends it to rebuild the
+    * cleaned text): tokenize, hash every k-word window, keep windows
+    * with ≥2 distinct docs and ≤ SubstrMaxOcc postings, then merge
+    * duplicated positions (gap ≤ k) into islands. One definition so the
+    * two replays can never drift apart.
+    */
+  private lazy val substrSpanChainSql: String =
+    s"""words AS (
+       |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+       |  WHERE len(string_split(text,' ')) >= ${graft.operators.DedupOps.SubstrK}
+       |    AND len(string_split(text,' ')) < ${1L << graft.operators.DedupOps.SubstrPosBits}),
+       |occ AS (
+       |  SELECT w.doc_id, g.p,
+       |    ${md5iSql(s"concat_ws(' ', list_slice(w.ws, g.p+1, g.p+${graft.operators.DedupOps.SubstrK}))")} AS key
+       |  FROM words w,
+       |    LATERAL (SELECT unnest(generate_series(0, len(w.ws)-${graft.operators.DedupOps.SubstrK})) AS p) g),
+       |st AS (SELECT key, count(*) AS occs, count(DISTINCT doc_id) AS docs
+       |       FROM occ GROUP BY key),
+       |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN st ON st.key = o.key
+       |        WHERE st.docs >= 2 AND st.occs <= ${graft.operators.DedupOps.SubstrMaxOcc}),
+       |isl AS (SELECT doc_id, p,
+       |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |         <= ${graft.operators.DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
+       |grp AS (SELECT doc_id, p,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)""".stripMargin
+
   /** Shared JPEG rule-replay oracle: mm_jpeg_pixels (baseline codec)
     * and mm_jpeg_prog (progressive codec) must land on the SAME
     * closed-form pixels, so they share this SQL verbatim.
@@ -2262,24 +2289,7 @@ object SparkEntry {
     // bounded-collect viral cut), merge overlapping/adjacent duplicated
     // positions (gap ≤ k) into maximal spans via gaps-and-islands.
     "dedup_substr" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
-         |  WHERE len(string_split(text,' ')) >= ${DedupOps.SubstrK}
-         |    AND len(string_split(text,' ')) < ${1L << DedupOps.SubstrPosBits}),
-         |occ AS (
-         |  SELECT w.doc_id, g.p,
-         |    ${md5iSql(s"concat_ws(' ', list_slice(w.ws, g.p+1, g.p+${DedupOps.SubstrK}))")} AS key
-         |  FROM words w,
-         |    LATERAL (SELECT unnest(generate_series(0, len(w.ws)-${DedupOps.SubstrK})) AS p) g),
-         |st AS (SELECT key, count(*) AS occs, count(DISTINCT doc_id) AS docs
-         |       FROM occ GROUP BY key),
-         |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN st ON st.key = o.key
-         |        WHERE st.docs >= 2 AND st.occs <= ${DedupOps.SubstrMaxOcc}),
-         |isl AS (SELECT doc_id, p,
-         |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-         |         <= ${DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
-         |grp AS (SELECT doc_id, p,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)
+      s"""WITH $substrSpanChainSql
          |SELECT doc_id::BIGINT AS doc_id, min(p)::BIGINT AS span_start,
          |  (max(p) + ${DedupOps.SubstrK} - min(p))::BIGINT AS span_len
          |FROM grp GROUP BY doc_id, g""".stripMargin,
@@ -2288,24 +2298,7 @@ object SparkEntry {
     // word position is dropped and the remainder re-joined with single
     // spaces; docs with no spans (or too short to window) pass through.
     "curate_substr" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
-         |  WHERE len(string_split(text,' ')) >= ${DedupOps.SubstrK}
-         |    AND len(string_split(text,' ')) < ${1L << DedupOps.SubstrPosBits}),
-         |occ AS (
-         |  SELECT w.doc_id, g.p,
-         |    ${md5iSql(s"concat_ws(' ', list_slice(w.ws, g.p+1, g.p+${DedupOps.SubstrK}))")} AS key
-         |  FROM words w,
-         |    LATERAL (SELECT unnest(generate_series(0, len(w.ws)-${DedupOps.SubstrK})) AS p) g),
-         |st AS (SELECT key, count(*) AS occs, count(DISTINCT doc_id) AS docs
-         |       FROM occ GROUP BY key),
-         |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN st ON st.key = o.key
-         |        WHERE st.docs >= 2 AND st.occs <= ${DedupOps.SubstrMaxOcc}),
-         |isl AS (SELECT doc_id, p,
-         |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-         |         <= ${DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
-         |grp AS (SELECT doc_id, p,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+      s"""WITH $substrSpanChainSql,
          |spansq AS (SELECT doc_id, min(p) AS s,
          |  max(p) + ${DedupOps.SubstrK} - min(p) AS l FROM grp GROUP BY doc_id, g),
          |docw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

@@ -195,11 +195,6 @@ object GifKernel {
   def encodeGif(img: Indexed, minCode: Int = MinCodeSize,
                 interlaced: Boolean = false): Array[Byte] = {
     require(minCode >= 2 && minCode <= 8, s"min code size $minCode out of spec range 2..8")
-    if (minCode < 8) {
-      val limit = 1 << minCode
-      require(img.idx.forall(b => (b & 0xff) < limit),
-        s"palette index out of range for $minCode-bit codes")
-    }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(img.w)); out.write(le16(img.h))
@@ -207,24 +202,58 @@ object GifKernel {
     out.write(0)    // background color index
     out.write(0)    // pixel aspect ratio
     out.write(img.palette)
-    out.write(0x2c) // image descriptor
-    out.write(le16(0)); out.write(le16(0))
-    out.write(le16(img.w)); out.write(le16(img.h))
-    out.write(if (interlaced) 0x40 else 0) // no local table; interlace flag
+    writeFrame(out, 0, 0, img.w, img.h, img.idx, interlaced, minCode)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Gather rows into the 4-pass interlace transmission order — the
+    * encode-side permutation; [[scatterInterlaced]] is its inverse.
+    */
+  private def gatherInterlaced(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val permuted = new Array[Byte](idx.length)
+    val order = interlaceRowOrder(h)
+    var o = 0
+    while (o < h) {
+      System.arraycopy(idx, order(o) * w, permuted, o * w, w)
+      o += 1
+    }
+    permuted
+  }
+
+  /** Scatter transmitted (pass-order) rows back to natural order. */
+  private def scatterInterlaced(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](raw.length)
+    val order = interlaceRowOrder(h)
+    var o = 0
+    while (o < h) {
+      System.arraycopy(raw, o * w, out, order(o) * w, w)
+      o += 1
+    }
+    out
+  }
+
+  /** Write one frame's wire data: image descriptor, interlace gather,
+    * LZW compression, ≤255-byte data sub-blocks, terminator — shared by
+    * the single-frame and animated writers so the two cannot drift.
+    * Guards every index against the code width (an out-of-range index
+    * would collide with the CLEAR/EOI control codes and corrupt the
+    * stream silently).
+    */
+  private def writeFrame(out: java.io.ByteArrayOutputStream, left: Int, top: Int,
+                         w: Int, h: Int, idx: Array[Byte],
+                         interlaced: Boolean, minCode: Int): Unit = {
+    if (minCode < 8) {
+      val limit = 1 << minCode
+      require(idx.forall(b => (b & 0xff) < limit),
+        s"palette index out of range for $minCode-bit codes")
+    }
+    out.write(0x2c)
+    out.write(le16(left)); out.write(le16(top))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(if (interlaced) 0x40 else 0)
     out.write(minCode)
-    val pixels =
-      if (!interlaced) img.idx
-      else {
-        val permuted = new Array[Byte](img.idx.length)
-        val order = interlaceRowOrder(img.h)
-        var o = 0
-        while (o < img.h) {
-          System.arraycopy(img.idx, order(o) * img.w, permuted, o * img.w, img.w)
-          o += 1
-        }
-        permuted
-      }
-    val lzw = lzwEncode(pixels, minCode)
+    val lzw = lzwEncode(if (interlaced) gatherInterlaced(idx, w, h) else idx, minCode)
     var off = 0
     while (off < lzw.length) {
       val len = math.min(255, lzw.length - off)
@@ -232,16 +261,15 @@ object GifKernel {
       out.write(lzw, off, len)
       off += len
     }
-    out.write(0)    // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    out.write(0) // block terminator
   }
 
   /** One frame of an animated GIF: a sub-rectangle of the logical
     * screen at (left, top), its own index raster, optionally interlaced
     * on the wire, optionally transparent at one palette index (those
     * pixels leave the canvas untouched), with a GIF89a disposal method
-    * (0/1 = leave canvas, 2 = restore rect to background after display).
+    * (0/1 = leave canvas, 2 = restore rect to background, 3 = restore
+    * the whole canvas to its pre-frame state after display).
     */
   final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
                              idx: Array[Byte], interlaced: Boolean = false,
@@ -249,7 +277,7 @@ object GifKernel {
                              disposal: Int = 1, delayCs: Int = 4) {
     require(w > 0 && h > 0 && idx.length == w * h, "frame raster must be w*h")
     require(left >= 0 && top >= 0, "frame offset must be non-negative")
-    require(disposal >= 0 && disposal <= 2, s"unsupported disposal $disposal")
+    require(disposal >= 0 && disposal <= 3, s"unsupported disposal $disposal")
   }
 
   /** Encode a multi-frame animated GIF89a: logical screen + global
@@ -261,6 +289,7 @@ object GifKernel {
                     frames: Seq[AnimFrame], minCode: Int = MinCodeSize): Array[Byte] = {
     require(palette.length == 768, "palette must be 256 RGB entries")
     require(frames.nonEmpty, "need at least one frame")
+    require(minCode >= 2 && minCode <= 8, s"min code size $minCode out of spec range 2..8")
     frames.foreach { f =>
       require(f.left + f.w <= screenW && f.top + f.h <= screenH,
         s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) exceeds ${screenW}x$screenH")
@@ -280,32 +309,7 @@ object GifKernel {
       out.write(le16(f.delayCs))
       out.write(f.transparentIdx.getOrElse(0))
       out.write(0) // sub-block terminator
-      out.write(0x2c)
-      out.write(le16(f.left)); out.write(le16(f.top))
-      out.write(le16(f.w)); out.write(le16(f.h))
-      out.write(if (f.interlaced) 0x40 else 0)
-      out.write(minCode)
-      val pixels =
-        if (!f.interlaced) f.idx
-        else {
-          val permuted = new Array[Byte](f.idx.length)
-          val order = interlaceRowOrder(f.h)
-          var o = 0
-          while (o < f.h) {
-            System.arraycopy(f.idx, order(o) * f.w, permuted, o * f.w, f.w)
-            o += 1
-          }
-          permuted
-        }
-      val lzw = lzwEncode(pixels, minCode)
-      var off = 0
-      while (off < lzw.length) {
-        val len = math.min(255, lzw.length - off)
-        out.write(len)
-        out.write(lzw, off, len)
-        off += len
-      }
-      out.write(0)
+      writeFrame(out, f.left, f.top, f.w, f.h, f.idx, f.interlaced, minCode)
     }
     out.write(0x3b)
     out.toByteArray
@@ -314,8 +318,10 @@ object GifKernel {
   /** Decode an animated GIF to the sequence of COMPOSITED full-canvas
     * frames: each element is the logical screen as displayed after that
     * frame — sub-rectangle frames are scattered onto the canvas,
-    * transparent pixels leave it untouched, and disposal 2 restores the
-    * frame's rect to the background index before the next frame.
+    * transparent pixels leave it untouched, disposal 2 restores the
+    * frame's rect to the background index before the next frame, and
+    * disposal 3 restores the whole canvas to its pre-frame state
+    * (reserved methods 4..7 are a structured failure).
     * Compositing happens at palette-index level, so frames must share
     * the global palette (a per-frame local table is a structured
     * failure — the spec allows it, but index-level composition would
@@ -357,6 +363,9 @@ object GifKernel {
           if (label == 0xf9 && (bytes(pos + 2) & 0xff) >= 4) {
             val gce = bytes(pos + 3) & 0xff
             disposal = (gce >> 2) & 0x07
+            // 4..7 are reserved by GIF89a — mis-compositing them
+            // silently would corrupt every later frame, so fail loud
+            require(disposal <= 3, s"reserved disposal method $disposal")
             transparentIdx = if ((gce & 1) != 0) bytes(pos + 6) & 0xff else -1
           }
           pos += 2
@@ -384,18 +393,9 @@ object GifKernel {
           }
           pos += 1
           val raw = lzwDecode(lzw.toByteArray, w * h, minCode)
-          val rect =
-            if (!interlaced) raw
-            else {
-              val o2 = new Array[Byte](raw.length)
-              val order = interlaceRowOrder(h)
-              var o = 0
-              while (o < h) {
-                System.arraycopy(raw, o * w, o2, order(o) * w, w)
-                o += 1
-              }
-              o2
-            }
+          val rect = if (interlaced) scatterInterlaced(raw, w, h) else raw
+          // disposal 3 restores the WHOLE canvas to its pre-frame state
+          val prevCanvas = if (disposal == 3) canvas.clone() else null
           var y = 0
           while (y < h) {
             var x = 0
@@ -418,6 +418,8 @@ object GifKernel {
                 (top + ry) * screenW + left + w, bgIndex.toByte)
               ry += 1
             }
+          } else if (disposal == 3) {
+            System.arraycopy(prevCanvas, 0, canvas, 0, canvas.length)
           }
           transparentIdx = -1
           disposal = 0
@@ -478,19 +480,7 @@ object GifKernel {
       len = bytes(pos) & 0xff
     }
     val raw = lzwDecode(lzw.toByteArray, w * h, minCode)
-    val idx =
-      if (!interlaced) raw
-      else {
-        // transmitted rows are in pass order — scatter them back
-        val out = new Array[Byte](raw.length)
-        val order = interlaceRowOrder(h)
-        var o = 0
-        while (o < h) {
-          System.arraycopy(raw, o * w, out, order(o) * w, w)
-          o += 1
-        }
-        out
-      }
+    val idx = if (interlaced) scatterInterlaced(raw, w, h) else raw
     Indexed(w, h, idx, palette)
   }
 }

@@ -318,6 +318,41 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("animated: disposal 3 restores the pre-frame canvas; 4..7 fail structured") {
+    import GifKernel.AnimFrame
+    val base = Array.fill(8 * 8)(1.toByte)
+    // frame 1 paints 6s at (0,0) with disposal 3 → frame 2's canvas must
+    // show the PRE-frame state again except its own new write
+    val bytes = GifKernel.encodeGifAnim(8, 8, PixelOps.gifPalette, Seq(
+      AnimFrame(0, 0, 8, 8, base),
+      AnimFrame(0, 0, 2, 2, Array[Byte](6, 6, 6, 6), disposal = 3),
+      AnimFrame(6, 0, 1, 1, Array[Byte](9))))
+    val frames = GifKernel.decodeGifAnim(bytes)
+    assert(frames(1).idx(0) == 6, "disposal-3 frame still displays")
+    assert(frames(2).idx(0) == 1, "pre-frame canvas not restored")
+    assert(frames(2).idx(6) == 9)
+    // reserved disposal on the wire (splice 4 into the second GCE)
+    intercept[IllegalArgumentException] {
+      GifKernel.AnimFrame(0, 0, 1, 1, Array[Byte](0), disposal = 4)
+    }
+    val gce2 = {
+      // find the second 0x21 0xf9 extension introducer
+      val first = bytes.indexOfSlice(Seq[Byte](0x21, 0xf9.toByte))
+      bytes.indexOfSlice(Seq[Byte](0x21, 0xf9.toByte), first + 1)
+    }
+    val bad = bytes.clone()
+    bad(gce2 + 3) = (4 << 2).toByte
+    val e = intercept[IllegalArgumentException] { GifKernel.decodeGifAnim(bad) }
+    assert(e.getMessage.contains("reserved disposal"))
+  }
+
+  test("animated writer guards small-code index range like the single-frame writer") {
+    intercept[IllegalArgumentException] {
+      GifKernel.encodeGifAnim(4, 4, PixelOps.gifPalette,
+        Seq(GifKernel.AnimFrame(0, 0, 4, 4, Array.fill(16)(16.toByte))), minCode = 4)
+    }
+  }
+
   test("animated: implausible frame counts fail structured before allocation") {
     // 64x64 screen → cap is 256MiB/4096B = 65536, clamped to 4096 frames;
     // splice the same 1x1 frame far past the cap and expect a structured
