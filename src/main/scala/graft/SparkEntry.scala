@@ -783,6 +783,15 @@ object SparkEntry {
     "mm_jpeg_prog" -> ((s, dir) =>
       graft.operators.PixelOps.jpegProgPixelParts(s, t(s, dir, "documents"))),
 
+    // Adobe CMYK (4-component + APP14) decode — the JPEG family
+    // PDF-embedded print images use: four block-constant inverted-ink
+    // planes through the real 4:4:4 interleaved entropy codec, folded
+    // to RGB with the exact integer rule R=(2·c·k+255)/510 that the
+    // oracle replays in closed form. ImageIO readRaster cross-checks
+    // the wire format in JpegSpec.
+    "mm_jpeg_cmyk" -> ((s, dir) =>
+      graft.operators.PixelOps.jpegCmykPixelParts(s, t(s, dir, "documents"))),
+
     // Audio modality: REAL RIFF/WAVE PCM-16 codec (chunk walk, LE byte
     // order) → windowed integer energy features; the closed-form sample
     // rule lets the oracle replay every window exactly.
@@ -1287,6 +1296,90 @@ object SparkEntry {
        |         <= ${graft.operators.DedupOps.SubstrK} THEN 0 ELSE 1 END AS brk FROM dup),
        |grp AS (SELECT doc_id, p,
        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)""".stripMargin
+
+  /** CMYK rule-replay oracle (mm_jpeg_cmyk): four per-channel
+    * inverted-ink block rules (salts jc0..jc3) folded to RGB with the
+    * exact integer rule rgb_c = (2·v_c·v_k + 255) // 510, then the
+    * identical convolution/letterbox/tile machinery as the other
+    * pixel gates. Geometry/subset salts (jrw/jrh/jxs) are shared with
+    * mm_jpeg_pixels so every JPEG gate covers the same frame set.
+    */
+  private lazy val mmJpegCmykOracleSql: String =
+    s"""WITH refs AS (
+       |  SELECT 'img://' || doc_id || '/0' AS media_ref FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'img://' || doc_id || '/1' FROM documents WHERE doc_id % 4 = 0),
+       |meta0 AS (
+       |  SELECT media_ref,
+       |    (${md5iSql("'jrw|' || media_ref")} % 2 + 1)::BIGINT AS rw,
+       |    (${md5iSql("'jrh|' || media_ref")} % 2 + 1)::BIGINT AS rh,
+       |    (${md5iSql("'jc0|' || media_ref")} % 251)::BIGINT AS s0,
+       |    (${md5iSql("'jc1|' || media_ref")} % 251)::BIGINT AS s1,
+       |    (${md5iSql("'jc2|' || media_ref")} % 251)::BIGINT AS s2,
+       |    (${md5iSql("'jc3|' || media_ref")} % 251)::BIGINT AS s3
+       |  FROM refs
+       |  WHERE ${md5iSql("'jxs|' || media_ref")} % ${graft.operators.PixelOps.SubsetMod} = 0),
+       |meta AS (
+       |  SELECT media_ref, rw, rh, s0, s1, s2, s3, 16*rw AS sw, 16*rh AS sh,
+       |    16*rw // greatest(rw,rh) AS nw, 16*rh // greatest(rw,rh) AS nh
+       |  FROM meta0),
+       |gl AS (SELECT *, (16 - nw) // 2 AS xoff, (16 - nh) // 2 AS yoff FROM meta),
+       |src AS (
+       |  SELECT m.media_ref, gx.x, gy.y, ch.c,
+       |    (2 * ((5*(gx.x // 8) + 9*(gy.y // 8) +
+       |           CASE ch.c WHEN 0 THEN m.s0 WHEN 1 THEN m.s1 ELSE m.s2 END) % 256)
+       |       * ((5*(gx.x // 8) + 9*(gy.y // 8) + m.s3) % 256) + 255) // 510 AS val
+       |  FROM meta m,
+       |    LATERAL (SELECT unnest(generate_series(0, m.sw - 1)) AS x) gx,
+       |    LATERAL (SELECT unnest(generate_series(0, m.sh - 1)) AS y) gy,
+       |    (SELECT unnest([0,1,2]) AS c) ch),
+       |coef(insz, outsz, oi, si, w) AS (VALUES ${graft.operators.PixelOps.coeffSqlValues}),
+       |hp AS (
+       |  SELECT s.media_ref, t.oi AS x, s.y, s.c,
+       |    greatest(0, least(255, CAST(floor((2097152 + sum(s.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+       |  FROM src s
+       |  JOIN gl g ON s.media_ref = g.media_ref
+       |  JOIN coef t ON t.insz = g.sw AND t.outsz = g.nw AND t.si = s.x
+       |  GROUP BY s.media_ref, t.oi, s.y, s.c),
+       |vp AS (
+       |  SELECT h.media_ref, h.x, t.oi AS y, h.c,
+       |    greatest(0, least(255, CAST(floor((2097152 + sum(h.val * t.w)) / 4194304.0) AS BIGINT))) AS val
+       |  FROM hp h
+       |  JOIN gl g ON h.media_ref = g.media_ref
+       |  JOIN coef t ON t.insz = g.sh AND t.outsz = g.nh AND t.si = h.y
+       |  GROUP BY h.media_ref, h.x, t.oi, h.c),
+       |grid16 AS (
+       |  SELECT gx.x, gy.y, ch.c
+       |  FROM (SELECT unnest(generate_series(0,15)) AS x) gx,
+       |       (SELECT unnest(generate_series(0,15)) AS y) gy,
+       |       (SELECT unnest([0,1,2]) AS c) ch),
+       |canvas AS (
+       |  SELECT g.media_ref, p.x, p.y, p.c, coalesce(v.val, 127) AS val
+       |  FROM gl g CROSS JOIN grid16 p
+       |  LEFT JOIN vp v ON v.media_ref = g.media_ref AND v.x = p.x - g.xoff
+       |    AND v.y = p.y - g.yoff AND v.c = p.c),
+       |tiles AS (
+       |  SELECT m.media_ref, t.ti, (t.ti % m.rw) * 16 AS x0, (t.ti // m.rw) * 16 AS y0
+       |  FROM meta m,
+       |    LATERAL (SELECT unnest(generate_series(0, m.rw*m.rh - 1)) AS ti) t),
+       |tile_vals AS (
+       |  SELECT t.media_ref, t.ti, s.x - t.x0 AS x, s.y - t.y0 AS y, s.c, s.val
+       |  FROM tiles t
+       |  JOIN src s ON s.media_ref = t.media_ref
+       |    AND s.x >= t.x0 AND s.x < t.x0 + 16
+       |    AND s.y >= t.y0 AND s.y < t.y0 + 16),
+       |tile_parts AS (
+       |  SELECT media_ref, 'tile_' || ti AS part,
+       |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+       |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+       |  FROM tile_vals GROUP BY media_ref, ti),
+       |global_parts AS (
+       |  SELECT media_ref, 'global' AS part,
+       |    CAST(list_reduce(list(val ORDER BY y, x, c), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS pix_fp,
+       |    CAST(list_reduce(list(2*val ORDER BY c, y, x), (a,b) -> (a*31+b) % 1000000007) AS BIGINT) AS norm_fp
+       |  FROM canvas GROUP BY media_ref)
+       |SELECT media_ref, part, 16::BIGINT AS width, 16::BIGINT AS height, pix_fp, norm_fp
+       |FROM (SELECT * FROM tile_parts UNION ALL SELECT * FROM global_parts)""".stripMargin
 
   /** Shared JPEG rule-replay oracle: mm_jpeg_pixels (baseline codec)
     * and mm_jpeg_prog (progressive codec) must land on the SAME
@@ -2753,6 +2846,11 @@ object SparkEntry {
 
     // Progressive-codec gate: hash-must-equal the baseline rule replay.
     "mm_jpeg_prog" -> mmJpegOracleSql,
+
+    // CMYK replay: per-channel inverted-ink block rules folded with the
+    // integer rule rgb_c = (2·v_c·v_k + 255) // 510, then the identical
+    // convolution/letterbox/tile machinery.
+    "mm_jpeg_cmyk" -> mmJpegCmykOracleSql,
 
     "mm_pixels_ref" ->
       s"""WITH refs AS (

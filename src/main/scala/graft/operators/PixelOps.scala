@@ -478,6 +478,59 @@ object PixelOps {
   def jpegProgPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
     jpegPartsWith(spark, docs, processJpegProg)
 
+  /** Per-channel CMYK salt: stored (inverted-ink) plane c has block rule
+    * (5·⌊x/8⌋ + 9·⌊y/8⌋ + s_c) mod 256 with s_c = md5i("jc{c}|ref") mod
+    * 251 — block-constant, so all four planes are DC-exact through the
+    * real codec (any constant block round-trips bit-identically under
+    * the step-8 DC quantizer).
+    */
+  def jpegCmykSalt(ref: String, c: Int): Int =
+    (Hashing.md5i(s"jc$c|$ref") % 251L).toInt
+
+  private def ruleCmykPlane(ref: String, c: Int, w: Int, h: Int): Array[Byte] = {
+    val s = jpegCmykSalt(ref, c)
+    val data = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        data(y * w + x) = ((5 * (x / 8) + 9 * (y / 8) + s) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    data
+  }
+
+  /** Adobe CMYK (4-component, APP14) through the REAL codec: four
+    * block-constant stored planes → encodeCmyk (transform 0) → full
+    * entropy decode → the integer ink fold R=(2·c·k+255)/510 → the SAME
+    * resize/tile/letterbox pipeline. Every stage except the fold is the
+    * machinery the other JPEG gates already prove; the fold is
+    * closed-form, so the oracle replays final RGB exactly — the
+    * 4-component family PDF-embedded print images actually use.
+    */
+  def processJpegCmyk(ref: String): Seq[PixelPart] = {
+    import graft.vision.JpegKernel
+    val rw = jpegRatioW(ref); val rh = jpegRatioH(ref)
+    val w = TileSize * rw; val h = TileSize * rh
+    val planes = Array.tabulate(4)(c => ruleCmykPlane(ref, c, w, h))
+    val bytes = JpegKernel.encodeCmyk(w, h, planes, JpegKernel.DcExactQuant)
+    val dec = JpegKernel.decodeJpeg(bytes)
+    val ratioSized = PixelKernel.resizeBicubic(dec, w, h)
+    val tiles = PixelKernel.cropTiles(ratioSized, TileSize)
+    val global = PixelKernel.buildGlobalView(dec, BaseSize)
+    val tileParts = tiles.zipWithIndex.map { case (t, i) =>
+      PixelPart(ref, s"tile_$i", t.w.toLong, t.h.toLong,
+        PixelKernel.pixelChecksum(t), PixelKernel.normChecksum(t))
+    }
+    tileParts :+ PixelPart(ref, "global", global.w.toLong, global.h.toLong,
+      PixelKernel.pixelChecksum(global), PixelKernel.normChecksum(global))
+  }
+
+  def jpegCmykPixelParts(spark: SparkSession, docs: DataFrame): DataFrame =
+    jpegPartsWith(spark, docs, processJpegCmyk)
+
   private def jpegPartsWith(spark: SparkSession, docs: DataFrame,
       f: String => Seq[PixelPart]): DataFrame = {
     import spark.implicits._

@@ -481,6 +481,46 @@ object JpegKernel {
     out.toByteArray
   }
 
+  /** Baseline 4:4:4 four-component CMYK encode with the Adobe APP14
+    * marker: the planes are the Adobe-convention INVERTED ink values
+    * (stored = 255 − ink), written directly as components 1..4
+    * (transform 0) or with the first three forward-converted to YCbCr
+    * (transform 2, "YCCK" — pass planes already converted). All four
+    * components share the luma Huffman/quant tables. This is the
+    * 4-component JPEG family PDF-embedded print images actually use.
+    */
+  def encodeCmyk(w: Int, h: Int, planes: Array[Array[Byte]],
+                 quant: Array[Int] = DcExactQuant,
+                 transform: Int = 0): Array[Byte] = {
+    require(planes.length == 4 && planes.forall(_.length == w * h),
+      "need four w*h planes")
+    require(transform == 0 || transform == 2, s"APP14 transform $transform")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    // APP14 "Adobe": version 100, flags 0/0, color transform
+    writeSeg(out, 0xee, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, transform.toByte))
+    writeSeg(out, 0xdb, (0.toByte +: Zigzag.map(i => quant(i).toByte)))
+    writeSeg(out, 0xc0, Array[Byte](8,
+      (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte,
+      4, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0))
+    writeSeg(out, 0xc4, (0x00.toByte +: (DcLumaBits.map(_.toByte) ++ DcLumaVals)))
+    writeSeg(out, 0xc4, (0x10.toByte +: (AcLumaBits.map(_.toByte) ++ AcLumaVals)))
+    writeSeg(out, 0xda, Array[Byte](4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0))
+    val dcTab = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acTab = buildEncodeTable(AcLumaBits, AcLumaVals)
+    val blocks = planes.map(p => quantizeBlocks(Gray(w, h, p), quant))
+    val bw = new BitWriter(out)
+    val dcPred = new Array[Int](4)
+    val nBlocks = blocks(0).length
+    for (b <- 0 until nBlocks; c <- 0 until 4) // 4:4:4 MCU = one block each
+      dcPred(c) = encodeBlock(bw, blocks(c)(b), dcPred(c), dcTab, acTab)
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ decoder
 
   final case class Component(id: Int, h: Int, v: Int, tq: Int,
@@ -493,7 +533,8 @@ object JpegKernel {
     * ceil(dim/8) for a non-interleaved single-component scan.
     */
   final case class Coefficients(w: Int, h: Int,
-      comps: Seq[(Component, Array[Array[Int]])], grids: Seq[(Int, Int)])
+      comps: Seq[(Component, Array[Array[Int]])], grids: Seq[(Int, Int)],
+      adobeTransform: Int = -1)
 
   /** Multi-scan entropy decode to dequantized coefficients — baseline
     * (SOF0) AND progressive (SOF2, T.81 Annex G): spectral selection,
@@ -515,6 +556,7 @@ object JpegKernel {
     var w = 0; var h = 0
     var restartInterval = 0
     var progressive = false
+    var adobeTransform = -1
     var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
     var grids: Array[Array[Array[Int]]] = null // quantized; null block = zero
     var gw: Array[Int] = null; var gh: Array[Int] = null
@@ -769,6 +811,11 @@ object JpegKernel {
             throw new IllegalArgumentException(
               f"unsupported SOF marker 0xff$m%02x (baseline/progressive Huffman only)")
           case 0xdd => restartInterval = u16(body)
+          case 0xee => // APP14 "Adobe": color-transform flag at body+11
+            if (len >= 14 && bytes(body) == 'A' && bytes(body + 1) == 'd' &&
+                bytes(body + 2) == 'o' && bytes(body + 3) == 'b' &&
+                bytes(body + 4) == 'e')
+              adobeTransform = bytes(body + 11) & 0xff
           case _ => () // APPn / COM / DNL / others: skip
         }
         if (marker == 0xda) { // SOS: decodeScan returns the next marker
@@ -789,7 +836,7 @@ object JpegKernel {
       }
       (c, deq)
     }
-    Coefficients(w, h, out, comps.indices.map(i => (gw(i), gh(i))))
+    Coefficients(w, h, out, comps.indices.map(i => (gw(i), gh(i))), adobeTransform)
   }
 
   /** Reconstruct one component plane at its own resolution. */
@@ -902,11 +949,13 @@ object JpegKernel {
     }
 
   /** Full decode to RGB — baseline or progressive (grayscale replicated;
-    * YCbCr via the JFIF inverse transform; subsampled chroma upsampled
-    * with libjpeg's fancy triangle filter for 2× factors).
+    * YCbCr via the JFIF inverse transform; Adobe 4-component CMYK/YCCK
+    * folded to RGB; subsampled chroma upsampled with libjpeg's fancy
+    * triangle filter for 2× factors).
     */
   def decodeJpeg(bytes: Array[Byte]): Rgb = {
-    val Coefficients(w, h, comps, gridDims) = decodeCoefficients(bytes)
+    val co = decodeCoefficients(bytes)
+    val w = co.w; val h = co.h; val comps = co.comps; val gridDims = co.grids
     val hmax = comps.map(_._1.h).max; val vmax = comps.map(_._1.v).max
     val planes = comps.zip(gridDims).map { case ((c, grid), (gw, gh)) =>
       val pw = (w * c.h + hmax - 1) / hmax; val ph = (h * c.v + vmax - 1) / vmax
@@ -915,12 +964,38 @@ object JpegKernel {
       (up, uw)
     }
     val out = new Array[Byte](w * h * 3)
+    def cl(v: Double): Byte = math.max(0L, math.min(255L, math.round(v))).toByte
     if (planes.length == 1) {
       val (p, pw) = planes.head
       for (y <- 0 until h; x <- 0 until w) {
         val v = p(y * pw + x)
         val i = (y * w + x) * 3
         out(i) = v; out(i + 1) = v; out(i + 2) = v
+      }
+    } else if (planes.length == 4) {
+      // Adobe 4-component: stored samples are the INVERTED inks
+      // (stored = 255 − ink, the Photoshop/libjpeg convention);
+      // transform 2 ("YCCK") additionally runs YCbCr over the first
+      // three. Fold to RGB with the exact integer rule
+      // R = round(storedC·storedK / 255) = (2·storedC·storedK + 255)/510
+      // — closed-form-replayable for the oracle's rule images.
+      val Seq((p0, w0), (p1, w1), (p2, w2), (pk, wk)) = planes
+      val ycck = co.adobeTransform == 2
+      for (y <- 0 until h; x <- 0 until w) {
+        var c0 = p0(y * w0 + x) & 0xff
+        var c1 = p1(y * w1 + x) & 0xff
+        var c2 = p2(y * w2 + x) & 0xff
+        val k = pk(y * wk + x) & 0xff
+        if (ycck) {
+          val lum = c0; val cbv = c1 - 128; val crv = c2 - 128
+          c0 = cl(lum + 1.402 * crv) & 0xff
+          c1 = cl(lum - 0.344136 * cbv - 0.714136 * crv) & 0xff
+          c2 = cl(lum + 1.772 * cbv) & 0xff
+        }
+        val i = (y * w + x) * 3
+        out(i) = ((2 * c0 * k + 255) / 510).toByte
+        out(i + 1) = ((2 * c1 * k + 255) / 510).toByte
+        out(i + 2) = ((2 * c2 * k + 255) / 510).toByte
       }
     } else {
       require(planes.length == 3, s"unsupported component count ${planes.length}")
@@ -929,7 +1004,6 @@ object JpegKernel {
         val lum = yp(y * ywd + x) & 0xff
         val cbv = (bp(y * bwd + x) & 0xff) - 128
         val crv = (rp(y * rwd + x) & 0xff) - 128
-        def cl(v: Double): Byte = math.max(0L, math.min(255L, math.round(v))).toByte
         val i = (y * w + x) * 3
         out(i) = cl(lum + 1.402 * crv)
         out(i + 1) = cl(lum - 0.344136 * cbv - 0.714136 * crv)

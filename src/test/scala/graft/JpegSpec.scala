@@ -324,6 +324,83 @@ class JpegSpec extends AnyFunSuite {
     assert(parts.forall(p => p.pix_fp >= 0 && p.norm_fp >= 0))
   }
 
+  test("cmyk: block-constant planes fold to RGB bit-exactly (the oracle contract)") {
+    for (rw <- 1 to 2; rh <- 1 to 2) {
+      val ref = s"img://$rw$rh/0"
+      val w = 16 * rw; val h = 16 * rh
+      val planes = Array.tabulate(4) { c =>
+        val s = PixelOps.jpegCmykSalt(ref, c)
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((5 * (x / 8) + 9 * (y / 8) + s) % 256).toByte
+        }
+      }
+      val dec = JpegKernel.decodeJpeg(JpegKernel.encodeCmyk(w, h, planes))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val vc = planes(c)(y * w + x) & 0xff
+        val vk = planes(3)(y * w + x) & 0xff
+        val want = (2 * vc * vk + 255) / 510
+        assert((dec.data((y * w + x) * 3 + c) & 0xff) == want,
+          s"$ref pixel ($x,$y,$c) not the exact ink fold")
+      }
+    }
+  }
+
+  test("cmyk: ImageIO readRaster sees our four stored planes verbatim") {
+    val w = 24; val h = 16
+    val rng = new scala.util.Random(31)
+    // block-constant random planes (DC-exact) — raster parity proves the
+    // 4-component interleave + APP14 wire format against libjpeg's reader
+    val planes = Array.fill(4) {
+      val bvals = Array.fill((h / 8) * (w / 8))(rng.nextInt(256))
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        bvals((y / 8) * (w / 8) + x / 8).toByte
+      }
+    }
+    val bytes = JpegKernel.encodeCmyk(w, h, planes)
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val raster = rd.readRaster(0, null)
+    assert(raster.getNumBands == 4 && raster.getWidth == w && raster.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w; b <- 0 until 4)
+      assert(raster.getSample(x, y, b) == (planes(b)(y * w + x) & 0xff),
+        s"stored sample ($x,$y,$b) differs vs ImageIO readRaster")
+  }
+
+  test("cmyk: YCCK (transform 2) inverts to within transform rounding") {
+    val w = 16; val h = 16
+    val base = Array.tabulate(4) { c =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((5 * (x / 8) + 9 * (y / 8) + 37 * (c + 1)) % 256).toByte
+      }
+    }
+    // forward-convert the first three stored planes to YCbCr (YCCK wire)
+    def cl(v: Double): Byte = math.max(0, math.min(255, math.round(v))).toByte
+    val ycck = Array.tabulate(4) { c =>
+      if (c == 3) base(3)
+      else Array.tabulate(w * h) { i =>
+        val r = base(0)(i) & 0xff; val g = base(1)(i) & 0xff; val b = base(2)(i) & 0xff
+        c match {
+          case 0 => cl(0.299 * r + 0.587 * g + 0.114 * b)
+          case 1 => cl(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+          case _ => cl(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        }
+      }
+    }
+    val dec = JpegKernel.decodeJpeg(JpegKernel.encodeCmyk(w, h, ycck, transform = 2))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val vc = base(c)(y * w + x) & 0xff
+      val vk = base(3)(y * w + x) & 0xff
+      val want = (2 * vc * vk + 255) / 510
+      val got = dec.data((y * w + x) * 3 + c) & 0xff
+      assert(math.abs(got - want) <= 2,
+        s"YCCK pixel ($x,$y,$c): got $got want ~$want")
+    }
+  }
+
   test("jpeg rule pixels survive the DC-exact codec at every tile grid") {
     for (rw <- 1 to 2; rh <- 1 to 2) {
       val ref = s"img://$rw$rh/0"

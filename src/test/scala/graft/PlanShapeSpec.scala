@@ -213,8 +213,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "as-of must not plan a join:\n" + p)
   }
 
-  test("gif codec gates: narrow per-row kernels, zero exchanges") {
-    for (q <- Seq("mm_gif_interlace", "mm_gif_small", "mm_gif_frames")) {
+  test("codec gates: narrow per-row kernels, zero exchanges") {
+    for (q <- Seq("mm_gif_interlace", "mm_gif_small", "mm_gif_frames",
+                  "mm_jpeg_cmyk")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q: " + p.linesIterator.take(3).mkString("|"))
       assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
